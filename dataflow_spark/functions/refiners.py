@@ -1,0 +1,239 @@
+"""Text refiners — rewrite a text column in place.
+
+Reference archetype: each refiner overwrites ``input_key`` row by row (e.g.
+/root/reference/dataflow/operators/general_text/refine/remove_extra_spaces_refiner.py:50-66).
+Here each refiner is a pure column transform with two implementations:
+
+* ``kernel(s: pd.Series) -> pd.Series`` — Arrow-vectorized pandas, exact
+  Python string semantics (the parity path, used inside a pandas_udf);
+* ``native(col) -> Column`` — Catalyst expression (JVM codegen hot path),
+  present when provably equivalent on the engine's documented input domain
+  (ASCII-dominant web text). Unicode-edge caveats are noted per refiner;
+  pytest asserts native == kernel on the dirty synthetic corpus.
+
+Null semantics: null text stays null; empty string maps per Python rules.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflow_spark.functions import text as X
+
+_MONTHS = {}
+
+
+@dataclass(frozen=True)
+class Refiner:
+    name: str
+    kernel: Callable[[pd.Series], pd.Series]
+    native: Optional[Callable[[Column], Column]]
+    doc: str = ""
+
+
+def _k_remove_extra_spaces(s: pd.Series) -> pd.Series:
+    # ' '.join(text.split()) — reference remove_extra_spaces_refiner.py:53.
+    return s.str.split().str.join(" ")
+
+
+def _n_remove_extra_spaces(c: Column) -> Column:
+    # Java \s = [ \t\n\x0B\f\r]; Python split() also eats unicode spaces —
+    # equal on ASCII whitespace (our input domain).
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _k_remove_emoji(s: pd.Series) -> pd.Series:
+    return s.str.replace(X.EMOJI_PATTERN, "", regex=True)
+
+
+def _n_remove_emoji(c: Column) -> Column:
+    return F.regexp_replace(c, X.EMOJI_CLASS_X, "")
+
+
+def _k_remove_html_url(s: pd.Series) -> pd.Series:
+    # reference html_url_remover_refiner.py:51-53 — URLs first, then tags.
+    return s.str.replace(X.URL_REGEX, "", regex=True).str.replace(
+        X.TAG_REGEX, "", regex=True
+    )
+
+
+def _n_remove_html_url(c: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(c, X.URL_REGEX, ""), X.TAG_REGEX, "")
+
+
+def _k_remove_html_entity(s: pd.Series) -> pd.Series:
+    return s.str.replace(X.HTML_ENTITY_REGEX, "", regex=True)
+
+
+def _n_remove_html_entity(c: Column) -> Column:
+    return F.regexp_replace(c, X.HTML_ENTITY_REGEX, "")
+
+
+def _k_lowercase(s: pd.Series) -> pd.Series:
+    # Python str.lower() — reference lowercase_refiner.py:48. (Differs from
+    # JVM lower() on a handful of unicode points, e.g. İ.)
+    return s.str.lower()
+
+
+def _n_lowercase(c: Column) -> Column:
+    return F.lower(c)
+
+
+def _k_remove_numbers(s: pd.Series) -> pd.Series:
+    # Unicode decimal digits (Python \d), superset of [0-9] — reference
+    # remove_number_refiner.py:51 uses str.isdigit().
+    return s.str.replace(r"\d", "", regex=True)
+
+
+def _n_remove_numbers(c: Column) -> Column:
+    return F.regexp_replace(c, "[0-9]", "")  # ASCII-digit domain
+
+
+def _k_remove_punctuation(s: pd.Series) -> pd.Series:
+    table = str.maketrans("", "", X.PUNCTUATION)
+    return s.map(lambda v: v.translate(table), na_action="ignore")
+
+
+def _n_remove_punctuation(c: Column) -> Column:
+    return F.translate(c, X.PUNCTUATION, "")
+
+
+_REP_PUNCT = re.compile(r"([^\w\s_])\1+")
+
+
+def _k_collapse_repeated_punct(s: pd.Series) -> pd.Series:
+    # reference remove_repetitions_punctuation_refiner.py:54.
+    return s.str.replace(_REP_PUNCT, r"\1", regex=True)
+
+
+def _n_collapse_repeated_punct(c: Column) -> Column:
+    return F.regexp_replace(c, r"([^\w\s_])\1+", "$1")
+
+
+_IMG_MD = r"!\[[^\]]*\]\([^)]*\)"
+_IMG_TAG = r"<img[^>]*>"
+
+
+def _k_remove_image_refs(s: pd.Series) -> pd.Series:
+    return s.str.replace(_IMG_MD, "", regex=True).str.replace(
+        _IMG_TAG, "", regex=True, flags=re.IGNORECASE
+    )
+
+
+def _n_remove_image_refs(c: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(c, _IMG_MD, ""), "(?i)" + _IMG_TAG, "")
+
+
+_CITATION = r"\[[0-9]+\]"
+_REFS_SECTION = r"(?is)\n\s*references\s*\n.*$"
+
+
+def _k_remove_references(s: pd.Series) -> pd.Series:
+    return s.str.replace(_CITATION, "", regex=True).str.replace(
+        _REFS_SECTION, "", regex=True
+    )
+
+
+def _n_remove_references(c: Column) -> Column:
+    return F.regexp_replace(F.regexp_replace(c, _CITATION, ""), _REFS_SECTION, "")
+
+
+_DATE_SLASH = r"\b(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/([0-9]{4})\b"
+_CURRENCY = r"\$([0-9]+(?:\.[0-9]+)?)"
+
+
+def _k_normalize_text(s: pd.Series) -> pd.Series:
+    # MM/DD/YYYY → YYYY-MM-DD; $n → n USD (reference
+    # text_normalization_refiner.py:55-70 semantics, numeric subset).
+    out = s.str.replace(_DATE_SLASH, r"\3-\1-\2", regex=True)
+    return out.str.replace(_CURRENCY, r"\1 USD", regex=True)
+
+
+def _n_normalize_text(c: Column) -> Column:
+    out = F.regexp_replace(c, _DATE_SLASH, "$3-$1-$2")
+    return F.regexp_replace(out, _CURRENCY, "$1 USD")
+
+
+def _k_remove_stopwords(s: pd.Series) -> pd.Series:
+    # token kept iff token.lower() not in STOPWORDS; rejoin with ' '
+    # (reference remove_stopwords_refiner.py:21-22 with our pinned list).
+    sw = X.STOPWORDS
+    return s.str.split().map(
+        lambda toks: " ".join(t for t in toks if t.lower() not in sw),
+        na_action="ignore",
+    )
+
+
+def _n_remove_stopwords(c: Column) -> Column:
+    sw = F.array(*[F.lit(w) for w in sorted(X.STOPWORDS)])
+    toks = F.filter(
+        F.split(F.trim(c), r"\s+"),
+        lambda x: (x != "") & ~F.array_contains(sw, F.lower(x)),
+    )
+    return F.when(c.isNull(), F.lit(None)).otherwise(F.array_join(toks, " "))
+
+
+REFINERS: dict[str, Refiner] = {
+    r.name: r
+    for r in [
+        Refiner("remove_extra_spaces", _k_remove_extra_spaces, _n_remove_extra_spaces,
+                "collapse all whitespace runs to single spaces, trim ends"),
+        Refiner("remove_emoji", _k_remove_emoji, _n_remove_emoji,
+                "strip emoji codepoint ranges"),
+        Refiner("remove_html_url", _k_remove_html_url, _n_remove_html_url,
+                "strip https?:// URLs then <...> tags"),
+        Refiner("remove_html_entity", _k_remove_html_entity, _n_remove_html_entity,
+                "strip named/numeric HTML entities"),
+        Refiner("lowercase", _k_lowercase, _n_lowercase, "lowercase"),
+        Refiner("remove_numbers", _k_remove_numbers, _n_remove_numbers,
+                "drop decimal digit characters"),
+        Refiner("remove_punctuation", _k_remove_punctuation, _n_remove_punctuation,
+                "drop ASCII punctuation"),
+        Refiner("collapse_repeated_punct", _k_collapse_repeated_punct,
+                _n_collapse_repeated_punct, "collapse runs of one punctuation char"),
+        Refiner("remove_image_refs", _k_remove_image_refs, _n_remove_image_refs,
+                "strip markdown/html image references"),
+        Refiner("remove_references", _k_remove_references, _n_remove_references,
+                "strip [n] citations and trailing References section"),
+        Refiner("normalize_text", _k_normalize_text, _n_normalize_text,
+                "normalize numeric dates to ISO and $n to n USD"),
+        Refiner("remove_stopwords", _k_remove_stopwords, _n_remove_stopwords,
+                "drop stopword tokens, single-space rejoin"),
+    ]
+}
+
+
+def refiner_udf(name: str):
+    """Arrow pandas_udf for the parity path of one refiner."""
+    kernel = REFINERS[name].kernel
+
+    @F.pandas_udf(T.StringType())
+    def _udf(s: pd.Series) -> pd.Series:
+        return kernel(s)
+
+    return _udf
+
+
+def apply_refiner(
+    df: DataFrame, name: str, col: str = "text", mode: str = "native"
+) -> DataFrame:
+    """Rewrite ``col`` in place (the reference's refine-in-place shape)."""
+    r = REFINERS[name]
+    if mode == "native" and r.native is not None:
+        return df.withColumn(col, r.native(F.col(col)))
+    return df.withColumn(col, refiner_udf(name)(F.col(col)))
+
+
+def apply_refiners(
+    df: DataFrame, names: list[str], col: str = "text", mode: str = "native"
+) -> DataFrame:
+    for n in names:
+        df = apply_refiner(df, n, col, mode)
+    return df

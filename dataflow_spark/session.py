@@ -1,0 +1,62 @@
+"""SparkSession factory tuned for this engine.
+
+Scale stance: these configs are what we would ship to a 1000-executor
+cluster — AQE (runtime coalesce + skew-join splitting), Arrow for every
+Python<->JVM hop, and a shuffle-partition count sized to the parallelism
+actually available instead of the static 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return int(env)
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "dataflow-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a local SparkSession.
+
+    ``cores=None`` → ``$SPARK_GRAFT_CPUS`` or all cores. On a real cluster
+    the master/cores come from spark-submit and everything else here still
+    applies unchanged (the job is shipped via ``spark-submit --py-files``).
+    """
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting. The
+        # transcripts table has Zipf-skewed conv_id (FIXTURES.md §1); AQE
+        # plus explicit salting (operators/dedup.py, streaming/) is the
+        # two-layer skew defense.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow on every pandas_udf / toPandas hop — the engine mandate is
+        # "vectorized pandas/Arrow UDFs, no per-row Python".
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
+        .config("spark.default.parallelism", str(2 * n))
+        .config("spark.sql.session.timeZone", "UTC")
+        # Streaming state: RocksDB would be the cluster choice; the HDFS
+        # store is fine for local state sizes and has no native dependency.
+        .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", os.environ.get("DFS_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
