@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship PT-filter chain (the reference's
+text_pt_filter.py:65-161 pipeline shape re-expressed as one Catalyst plan:
+refine×3 → exact dedup → MinHash-LSH near-dedup → heuristic filters →
+quality score) on /root/testdata/sf0.001.
+
+``queries()`` / ``oracle_sql()`` cover every implemented operator from
+SURVEY.md §2 plus the training-data ops (dedup families, ANN, text
+analysis, windows/assembly/join). See dataflow_spark/entry_queries.py.
 """
 
 from __future__ import annotations
@@ -16,23 +19,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.filters import apply_filters
+    from dataflow_spark.functions.refiners import apply_refiners
+    from dataflow_spark.functions.scorers import ngram_score_native, quality_score_native
+    from dataflow_spark.operators.dedup import dedup_exact, dedup_minhash
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    refined = apply_refiners(
+        docs, ["remove_extra_spaces", "remove_emoji", "remove_html_url"]
+    )
+    deduped = dedup_minhash(dedup_exact(refined, ["text"], "doc_id"), "doc_id")
+    filtered = apply_filters(
+        deduped,
+        [
+            "content_null", "word_number", "mean_word_length", "alpha_words",
+            "unique_words", "lorem_ipsum", "curly_bracket", "watermark",
+        ],
+    )
+    return filtered.select(
+        "doc_id", "lang", "source", "text",
+        F.round(ngram_score_native(F.col("text")), 6).alias("ngram_score"),
+        F.round(quality_score_native(F.col("text")), 6).alias("quality"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dataflow_spark.entry_queries import build_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataflow_spark.entry_queries import build_oracles
+
+    return build_oracles()

@@ -1,0 +1,124 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1, "turns_per_sec": ...}
+
+The transcripts pipeline (the engine's raison d'être) is benchmarked on a
+deterministically generated transcripts table (seed 42, cached under
+.bench_cache/) and reported both as seconds and as sustained turns/sec.
+Run scale evidence (local[8] vs local[32]) lives in tools/bench_scaling.py
+→ BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_TURNS = int(os.environ.get("DFS_BENCH_TURNS", "300000"))
+
+
+def _force(df) -> int:
+    """Materialize fully (noop sink — nothing is pruned by count())."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def transcripts_path() -> str:
+    from dataflow_spark.datagen import write_transcripts_parquet
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache", f"transcripts_{N_TURNS}")
+    return write_transcripts_parquet(cache, n_turns=N_TURNS, seed=42)
+
+
+def pt_pipeline_transcripts(spark, path: str):
+    """Flagship: full PT chain over the transcripts table."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.filters import apply_filters
+    from dataflow_spark.functions.refiners import apply_refiners
+    from dataflow_spark.functions.scorers import quality_score_native
+    from dataflow_spark.operators.dedup import dedup_exact
+
+    tr = spark.read.parquet(path)
+    refined = apply_refiners(tr, ["remove_extra_spaces", "remove_emoji", "remove_html_url"])
+    # structs are orderable — (conv_id, turn_idx) is the canonical order key
+    deduped = dedup_exact(
+        refined.withColumn("__ord", F.struct("conv_id", "turn_idx")),
+        ["text"],
+        "__ord",
+    ).drop("__ord")
+    filtered = apply_filters(
+        deduped,
+        ["content_null", "word_number", "mean_word_length", "alpha_words",
+         "unique_words", "lorem_ipsum", "curly_bracket", "watermark"],
+    )
+    return filtered.withColumn("quality", quality_score_native(F.col("text")))
+
+
+def main() -> None:
+    from dataflow_spark.entry_queries import build_queries
+    from dataflow_spark.session import get_spark
+
+    spark = get_spark("dataflow-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    tpath = transcripts_path()
+
+    q = build_queries()
+    headline = [
+        "dedup_minhash_lsh",
+        "dedup_exact_md5",
+        "window_tumbling",
+        "window_session",
+        "assembly_conversations",
+        "join_user_assistant",
+        "ann_topk_bruteforce",
+        "pricing_summary",
+        "score_ngram",
+    ]
+    timings: dict[str, float] = {}
+
+    # warm the JVM + parquet footers with a trivial action
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    t0 = time.time()
+    df = pt_pipeline_transcripts(spark, tpath)
+    _force(df)
+    dt = time.time() - t0
+    timings["pt_pipeline_transcripts"] = round(dt, 3)
+    turns_per_sec = round(N_TURNS / dt, 1)
+
+    for name in headline:
+        t0 = time.time()
+        _force(q[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall-clock (PT transcripts pipeline + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "turns_per_sec": turns_per_sec,
+                "n_turns": N_TURNS,
+                "cores": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

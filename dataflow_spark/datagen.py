@@ -178,6 +178,8 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> 
         return path
     os.makedirs(path, exist_ok=True)
     pdf = make_transcripts(n_turns=n_turns, seed=seed, **kw)
+    # Spark cannot read TIMESTAMP(NANOS) parquet — store microseconds.
+    pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
     pdf.to_parquet(os.path.join(path, "transcripts.parquet"), index=False)
     with open(marker, "w") as f:
         f.write(f"n_turns={len(pdf)} seed={seed}\n")

@@ -1,0 +1,804 @@
+"""Driver-contract query registry: Spark queries + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 (plus the training-data-
+pipeline operators: dedup families, ANN, text analysis, windows) gets a
+``queries()`` entry; SQL-expressible ones also get an ``oracle_sql()``
+entry executed by DuckDB on the same parquet tables. Column names and
+value rounding are aligned on both sides because the driver hash-compares
+values after sorting columns by name.
+
+Float discipline: ratios/similarities are rounded (identical op order on
+both sides); big-table SUMs go through exact DECIMAL accumulation and are
+cast back to double — parallel double summation order would otherwise
+make hashes flaky.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from dataflow_spark.functions import text as X
+from dataflow_spark.functions import scorers as S
+from dataflow_spark.functions.filters import FILTERS, with_filter_columns
+from dataflow_spark.functions.refiners import REFINERS
+from dataflow_spark.operators import dedup as D
+from dataflow_spark.operators import similarity as SIM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------- SQL helpers
+
+_PUNCT_SQL = X.PUNCTUATION.replace("'", "''")
+_SW_SQL = "[" + ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(X.STOPWORDS)) + "]"
+_BLOCK_SQL = "[" + ", ".join(f"'{w}'" for w in sorted(X.BLOCKLIST_WORDS)) + "]"
+
+# RE2 (DuckDB) spells unicode escapes \x{FFF9}; Python re uses ￹.
+_SPECIAL_RE2 = [
+    "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f-\\x9f]",
+    "[\\x{FFF9}-\\x{FFFC}\\x{FFFE}\\x{FFFF}]",
+    "\\\\x[0-9a-fA-F]{2}",
+    "[\\x{E000}-\\x{F8FF}]",
+]
+
+
+def _sql_toks(col: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(coalesce({col}, ''), '\\s+'), x -> x <> '')"
+    )
+
+
+def _sql_lang_arr(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in sorted(X.LANG_STOPWORDS[lang])) + "]"
+
+
+# ------------------------------------------------------------------ refiners
+
+_REFINER_ORACLES = {
+    "remove_extra_spaces": "trim(regexp_replace(text, '\\s+', ' ', 'g'))",
+    "lowercase": "lower(text)",
+    "remove_numbers": "regexp_replace(text, '[0-9]', '', 'g')",
+    "remove_punctuation": f"translate(text, '{_PUNCT_SQL}', '')",
+    "remove_html_url": (
+        "regexp_replace(regexp_replace(text, 'https?://\\S+', '', 'g'),"
+        " '<[^>]*>', '', 'g')"
+    ),
+    "normalize_text": (
+        "regexp_replace(regexp_replace(text,"
+        " '\\b(0?[1-9]|1[0-2])/(0?[1-9]|[12][0-9]|3[01])/([0-9]{4})\\b',"
+        " '\\3-\\1-\\2', 'g'), '\\$([0-9]+(?:\\.[0-9]+)?)', '\\1 USD', 'g')"
+    ),
+}
+
+
+def _refiner_query(name: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        df = _t(spark, sf, "documents")
+        return df.select("doc_id", REFINERS[name].native(F.col("text")).alias("text"))
+
+    return q
+
+
+# ------------------------------------------------------------------- filters
+
+def _filter_query(name: str):
+    cast_to = (
+        "double" if isinstance(FILTERS[name].metric_type, T.DoubleType) else "long"
+    )
+
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        df = _t(spark, sf, "documents").select("doc_id", "text")
+        out = with_filter_columns(df, name)
+        metric = F.col(f"{name}_metric").cast(cast_to)
+        if cast_to == "double":
+            metric = F.round(metric, 9)
+        return out.filter(F.col(f"{name}_keep")).select(
+            "doc_id", metric.alias("metric")
+        )
+
+    return q
+
+
+_TOKS = _sql_toks()
+
+_FILTER_ORACLES: dict[str, str] = {
+    "colon_end": f"""
+        SELECT doc_id, CAST(ends_with(coalesce(text,''), ':') AS BIGINT) AS metric
+        FROM documents
+        WHERE regexp_matches(text, '\\S') AND NOT ends_with(coalesce(text,''), ':')""",
+    "word_number": f"""
+        SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS metric FROM documents
+        WHERE len({_TOKS}) >= 20 AND len({_TOKS}) < 100000""",
+    "char_number": """
+        SELECT doc_id, CAST(length(coalesce(text,'')) AS BIGINT) AS metric
+        FROM documents WHERE length(coalesce(text,'')) >= 100""",
+    "content_null": """
+        SELECT doc_id, CAST(1 AS BIGINT) AS metric FROM documents
+        WHERE text IS NOT NULL AND regexp_matches(text, '\\S')""",
+    "sentence_number": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text,''), '\\b[^.!?\\n]+[.!?]*')) AS BIGINT) AS metric
+        FROM documents
+        WHERE len(regexp_extract_all(coalesce(text,''), '\\b[^.!?\\n]+[.!?]*')) BETWEEN 1 AND 7500""",
+    "mean_word_length": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) AS chars,
+                 len({_TOKS}) AS words
+          FROM documents)
+        SELECT doc_id, round(chars * 1.0 / words, 9) AS metric FROM m
+        WHERE words > 0 AND chars * 1.0 / words >= 3.0 AND chars * 1.0 / words < 10.0""",
+    "unique_words": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                    translate(lower(coalesce(text,'')), '{_PUNCT_SQL}', ''), '\\s+'),
+                    x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id, round(len(list_distinct(toks)) * 1.0 / len(toks), 9) AS metric
+        FROM m WHERE len(toks) > 0 AND len(list_distinct(toks)) * 1.0 / len(toks) > 0.1""",
+    "alpha_words": f"""
+        WITH m AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(toks), 9) AS metric
+        FROM m WHERE len(toks) > 0
+          AND len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]'))) * 1.0 / len(toks) > 0.6""",
+    "symbol_word_ratio": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(coalesce(text,''), '#'))
+                 + len(regexp_extract_all(coalesce(text,''), '\\.\\.\\.'))
+                 + len(regexp_extract_all(coalesce(text,''), '…')) AS sym,
+                 len({_TOKS}) AS words
+          FROM documents)
+        SELECT doc_id, round(sym * 1.0 / words, 9) AS metric FROM m
+        WHERE words > 0 AND sym * 1.0 / words < 0.4""",
+    "html_entity": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text,''), '{X.HTML_ENTITY_REGEX}')) AS BIGINT) AS metric
+        FROM documents
+        WHERE regexp_matches(text, '\\S')
+          AND len(regexp_extract_all(coalesce(text,''), '{X.HTML_ENTITY_REGEX}')) = 0""",
+    "id_card": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text,''), '(?i){X.ID_CARD_REGEX}')) AS BIGINT) AS metric
+        FROM documents
+        WHERE len(regexp_extract_all(coalesce(text,''), '(?i){X.ID_CARD_REGEX}')) < 3""",
+    "no_punc": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_max(list_transform(
+                    regexp_split_to_array(coalesce(text,''), '[.!?,;:\\n]'),
+                    seg -> len(list_filter(regexp_split_to_array(trim(seg), '\\s+'), x -> x <> ''))
+                 )) AS mx
+          FROM documents)
+        SELECT m.doc_id, CAST(mx AS BIGINT) AS metric
+        FROM m JOIN documents d ON m.doc_id = d.doc_id
+        WHERE regexp_matches(d.text, '\\S') AND mx <= 112""",
+    "watermark": """
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text,''), '(?i)(confidential|watermark|copyright|all rights reserved|draft)')) AS BIGINT) AS metric
+        FROM documents
+        WHERE regexp_matches(text, '\\S')
+          AND len(regexp_extract_all(coalesce(text,''), '(?i)(confidential|watermark|copyright|all rights reserved|draft)')) = 0""",
+    "stop_word": f"""
+        WITH m AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents),
+        h AS (
+          SELECT doc_id, len(toks) AS words,
+                 len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x)))) AS hits
+          FROM m)
+        SELECT doc_id, round(hits * 1.0 / words, 9) AS metric FROM h
+        WHERE words > 0 AND hits * 1.0 / words > 0.05 AND hits >= 3""",
+    "curly_bracket": """
+        WITH m AS (
+          SELECT doc_id, length(coalesce(text,'')) AS n,
+                 len(regexp_extract_all(coalesce(text,''), '[{}]')) AS braces
+          FROM documents)
+        SELECT doc_id, round(braces * 1.0 / n, 9) AS metric FROM m
+        WHERE n > 0 AND braces * 1.0 / n < 0.025""",
+    "capital_words": f"""
+        WITH m AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+        h AS (SELECT doc_id, len(toks) AS words,
+                     len(list_filter(toks, x -> upper(x) = x AND regexp_matches(x, '[A-Za-z]'))) AS caps
+              FROM m)
+        SELECT doc_id, round(caps * 1.0 / words, 9) AS metric FROM h
+        WHERE words > 0 AND caps * 1.0 / words <= 0.2""",
+    "lorem_ipsum": """
+        WITH m AS (
+          SELECT doc_id, length(coalesce(text,'')) AS n,
+                 len(regexp_extract_all(lower(coalesce(text,'')), 'lorem\\s+ipsum')) AS hits
+          FROM documents)
+        SELECT doc_id, round(hits * 1.0 / n, 9) AS metric FROM m
+        WHERE n > 0 AND hits * 1.0 / n <= 3e-8""",
+    "blocklist": f"""
+        WITH m AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> list_contains({_BLOCK_SQL}, lower(x)))) AS BIGINT) AS metric
+        FROM m
+        WHERE len(list_filter(toks, x -> list_contains({_BLOCK_SQL}, lower(x)))) <= 1""",
+    "special_character": f"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(coalesce(text,''), '{_SPECIAL_RE2[0]}'))
+               + len(regexp_extract_all(coalesce(text,''), '{_SPECIAL_RE2[1]}'))
+               + len(regexp_extract_all(coalesce(text,''), '{_SPECIAL_RE2[2]}'))
+               + len(regexp_extract_all(coalesce(text,''), '{_SPECIAL_RE2[3]}')) AS hits
+          FROM documents)
+        SELECT doc_id, CAST(hits AS BIGINT) AS metric FROM m
+        WHERE regexp_matches(text, '\\S') AND hits = 0""",
+    "line_start_bullet": """
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text,''), chr(10)), l -> regexp_matches(l, '\\S')) AS lines
+          FROM documents),
+        h AS (SELECT doc_id, len(lines) AS n,
+                     len(list_filter(lines, l -> list_contains(['-','*','•','●','▪','·','+'], substr(ltrim(l), 1, 1)))) AS b
+              FROM m)
+        SELECT doc_id, round(b * 1.0 / n, 9) AS metric FROM h
+        WHERE n > 0 AND b * 1.0 / n <= 0.9""",
+    "line_end_ellipsis": """
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(string_split(coalesce(text,''), chr(10)), l -> regexp_matches(l, '\\S')) AS lines
+          FROM documents),
+        h AS (SELECT doc_id, len(lines) AS n,
+                     len(list_filter(lines, l -> ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '……'))) AS e
+              FROM m)
+        SELECT doc_id, round(e * 1.0 / n, 9) AS metric FROM h
+        WHERE n > 0 AND e * 1.0 / n < 0.3""",
+    "line_javascript": """
+        WITH m AS (
+          SELECT doc_id, text,
+                 list_filter(string_split(coalesce(text,''), chr(10)), l -> regexp_matches(l, '\\S')) AS lines
+          FROM documents),
+        h AS (SELECT doc_id, text, len(lines) AS n,
+                     len(list_filter(lines, l -> NOT contains(lower(l), 'javascript'))) AS nojs
+              FROM m)
+        SELECT doc_id, CAST(nojs AS BIGINT) AS metric FROM h
+        WHERE regexp_matches(text, '\\S') AND (n <= 3 OR nojs >= 3)""",
+}
+
+
+# -------------------------------------------------------------------- dedup
+
+def _q_dedup_exact_md5(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return D.dedup_exact(df, ["text"], "doc_id", algo="md5")
+
+
+def _q_dedup_ccnet(spark, sf):
+    # md5-prefix analogue of ccnet's sha1-64bit so DuckDB can oracle it
+    # (DuckDB 1.0 lacks sha1; engine also ships the true sha1 variant).
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    tagged = df.withColumn(
+        "__h", F.substring(F.md5(F.concat_ws("\n", F.coalesce("text", F.lit("")))), 1, 16)
+    )
+    win = tagged.groupBy("__h").agg(
+        F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("row")
+    )
+    return win.select("row.*")
+
+
+def _q_dedup_minhash(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return D.dedup_minhash(df, "doc_id").select("doc_id", "text")
+
+
+def _q_dedup_simhash(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return D.dedup_simhash(df, "doc_id").select("doc_id", "text")
+
+
+def _q_dedup_ngram_chunks(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return D.dedup_ngram_chunks(df, "doc_id").select("doc_id", "text")
+
+
+def _q_dedup_embedding(spark, sf):
+    df = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return D.dedup_embedding_cosine(df, "vec_id", threshold=0.97).select("vec_id")
+
+
+# ------------------------------------------------------------------ scorers
+
+def _q_score_ngram(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", F.round(S.ngram_score_native(F.col("text")), 9).alias("ngram_score"))
+
+
+def _q_score_token_count(spark, sf):
+    df = _t(spark, sf, "documents")
+    e = S.token_count_exprs(F.col("text"))
+    return df.select(
+        "doc_id",
+        e["n_tokens_ws"].cast("long").alias("n_tokens_ws"),
+        e["n_chars"].cast("long").alias("n_chars_m"),
+        e["n_tokens_bpe_est"].cast("long").alias("n_tokens_bpe_est"),
+    )
+
+
+def _q_score_quality(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", F.round(S.quality_score_native(F.col("text")), 9).alias("quality"))
+
+
+def _q_score_lang_id(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", S.lang_id_native(F.col("text")).alias("lang_pred"))
+
+
+def _q_score_fingerprint(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", S.fingerprint_md5_native(F.col("text")).alias("fp"))
+
+
+def _q_score_lexdiv(spark, sf):
+    df = _t(spark, sf, "documents")
+    res = S.lexical_diversity_udf()(F.col("text"))
+    return df.select(
+        "doc_id",
+        F.round(res["mtld"], 6).alias("mtld"),
+        F.round(res["hdd"], 6).alias("hdd"),
+    )
+
+
+def _q_score_winnowing(spark, sf):
+    df = _t(spark, sf, "documents")
+    return df.select("doc_id", S.winnowing_udf()(F.col("text")).alias("fingerprints"))
+
+
+_SCORER_ORACLES = {
+    "score_ngram": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                    translate(lower(coalesce(text,'')), '{_PUNCT_SQL}', ''), '\\s+'),
+                    x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id,
+               round(CASE WHEN len(toks) < 5 THEN 1.0
+                     ELSE len(list_distinct(list_transform(range(1, len(toks) - 3),
+                          i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) * 1.0
+                          / (len(toks) - 4) END, 9) AS ngram_score
+        FROM m""",
+    "score_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS BIGINT) AS n_tokens_ws,
+               CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars_m,
+               CAST(ceil(length(coalesce(text,'')) / 4.0) AS BIGINT) AS n_tokens_bpe_est
+        FROM documents""",
+    "score_quality": f"""
+        WITH m AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+        h AS (
+          SELECT doc_id, len(toks) AS n,
+                 len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x)))) AS stop_hits,
+                 len(list_filter(toks, x -> upper(x) = x AND regexp_matches(x, '[A-Za-z]'))) AS caps,
+                 len(regexp_extract_all(coalesce(text,''), '#'))
+                 + len(regexp_extract_all(coalesce(text,''), '\\.\\.\\.'))
+                 + len(regexp_extract_all(coalesce(text,''), '…')) AS sym
+          FROM m)
+        SELECT doc_id,
+               round(CASE WHEN n > 0 THEN
+                 0.3 * least(1.0, n / 50.0)
+               + 0.3 * least(1.0, 5.0 * (stop_hits / CAST(n AS DOUBLE)))
+               + 0.2 * (1.0 - caps / CAST(n AS DOUBLE))
+               + 0.2 * greatest(0.0, 1.0 - 10.0 * (sym / CAST(n AS DOUBLE)))
+               ELSE 0.0 END, 9) AS quality
+        FROM h""",
+    "score_lang_id": f"""
+        WITH m AS (
+          SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('en')}, x))) AS c_en,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('de')}, x))) AS c_de,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('fr')}, x))) AS c_fr,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('es')}, x))) AS c_es
+          FROM m)
+        SELECT doc_id,
+               CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                    WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                    WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+                    WHEN c_es > 0 THEN 'es'
+                    ELSE 'unknown' END AS lang_pred
+        FROM h""",
+    "score_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))) AS fp
+        FROM documents""",
+}
+
+
+# ---------------------------------------------------------- windows (events)
+
+def _q_window_tumbling(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(30,6)")).cast("double")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+    )
+
+
+def _q_window_sliding(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+def _q_window_session(spark, sf):
+    ev = _t(spark, sf, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_WINDOW_ORACLES = {
+    "window_tumbling": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "window_sliding": """
+        SELECT strftime(time_bucket(INTERVAL '30 minutes', ts)
+                        - k * INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n_events
+        FROM events, unnest([0, 1]) AS t(k)
+        GROUP BY 1, 2""",
+    "window_session": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL '10 minutes' OR
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        islands AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM gaps)
+        SELECT user_id,
+               strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(max(ts) + INTERVAL '10 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+               count(*) AS n_events
+        FROM islands GROUP BY user_id, sid""",
+}
+
+
+# ------------------------------------------------- transcripts-shaped (events)
+
+# Deterministic SQL-expressible transcripts derivation so the DuckDB oracle
+# can see the same table: conv = user, turn order by (ts, event_id),
+# role alternates user/assistant by event_id parity.
+_TRANSCRIPT_SQL = """
+  SELECT 'c' || CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS BIGINT) AS turn_idx,
+         CASE WHEN event_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS text,
+         ts
+  FROM events
+"""
+
+
+def _derived_transcripts(spark, sf) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("c"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.when(F.col("event_id") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        F.concat_ws(":", "event_type", F.col("event_id").cast("string")).alias("text"),
+        "ts",
+    )
+
+
+def _q_assembly(spark, sf):
+    """Batch conversation assembly: ordered turns → 'role:text' lines,
+    drop trailing user turn (consistent_chat.py:116-132 semantics)."""
+    tr = _derived_transcripts(spark, sf)
+    agg = tr.groupBy("conv_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("turn_idx", "role", "text"))
+        ).alias("turns")
+    )
+    turns = F.col("turns")
+    trailing_user = F.element_at(turns, -1)["role"] == "user"
+    trimmed = F.when(trailing_user, F.slice(turns, 1, F.size(turns) - 1)).otherwise(turns)
+    return agg.select(
+        "conv_id",
+        F.size(trimmed).cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(trimmed, lambda t: F.concat_ws("|", t["role"], t["text"])), "\n"
+        ).alias("transcript"),
+    ).filter(F.col("n_turns") > 0)
+
+
+def _q_join_user_assistant(spark, sf):
+    """Pair each user turn with the FIRST later assistant turn in the same
+    conversation (batch form of the stream-stream join,
+    func_call_operators.py:517-567 pairing semantics)."""
+    tr = _derived_transcripts(spark, sf)
+    users = tr.filter(F.col("role") == "user").select(
+        "conv_id", F.col("turn_idx").alias("user_turn_idx"), F.col("ts").alias("uts")
+    )
+    asst = tr.filter(F.col("role") == "assistant").select(
+        "conv_id", F.col("turn_idx").alias("assistant_turn_idx"), F.col("ts").alias("ats")
+    )
+    joined = users.join(asst, "conv_id").filter(
+        F.col("assistant_turn_idx") > F.col("user_turn_idx")
+    )
+    firsts = joined.groupBy("conv_id", "user_turn_idx").agg(
+        F.min_by(
+            F.struct("assistant_turn_idx", "ats"), F.col("assistant_turn_idx")
+        ).alias("m"),
+        F.min("uts").alias("uts"),
+    )
+    return firsts.select(
+        "conv_id",
+        "user_turn_idx",
+        F.col("m.assistant_turn_idx").alias("assistant_turn_idx"),
+        # integer microseconds — exact on both engines, no FP flooring
+        # parquet ts arrives as TIMESTAMP_NTZ; session tz is UTC so the
+        # cast is a pure reinterpretation
+        (
+            F.unix_micros(F.col("m.ats").cast("timestamp"))
+            - F.unix_micros(F.col("uts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("latency_us"),
+    )
+
+
+_TRANSCRIPT_ORACLES = {
+    "assembly_conversations": f"""
+        WITH tr AS ({_TRANSCRIPT_SQL}),
+        lst AS (
+          SELECT conv_id,
+                 list(role || '|' || text ORDER BY turn_idx) AS items,
+                 arg_max(role, turn_idx) AS last_role
+          FROM tr GROUP BY conv_id),
+        trimmed AS (
+          SELECT conv_id,
+                 CASE WHEN last_role = 'user' THEN items[1:len(items)-1] ELSE items END AS items
+          FROM lst)
+        SELECT conv_id, CAST(len(items) AS BIGINT) AS n_turns,
+               array_to_string(items, chr(10)) AS transcript
+        FROM trimmed WHERE len(items) > 0""",
+    "join_user_assistant": f"""
+        WITH tr AS ({_TRANSCRIPT_SQL})
+        SELECT u.conv_id, u.turn_idx AS user_turn_idx,
+               min(a.turn_idx) AS assistant_turn_idx,
+               date_diff('microsecond', u.ts, min_by(a.ts, a.turn_idx)) AS latency_us
+        FROM tr u JOIN tr a ON u.conv_id = a.conv_id
+         AND a.role = 'assistant' AND u.role = 'user' AND a.turn_idx > u.turn_idx
+        GROUP BY u.conv_id, u.turn_idx, u.ts""",
+}
+
+
+# -------------------------------------------------------------------- ANN
+
+def _q_ann_bruteforce(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_topk_bruteforce(emb, queries, k=5)
+
+
+def _q_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_topk_lsh(emb, queries, k=5)
+
+
+_ANN_ORACLES = {
+    "ann_topk_bruteforce": """
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS neighbor_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+              FROM embeddings),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+                 round(list_cosine_similarity(q.qv, c.cv), 6) AS cos_sim
+          FROM q, c WHERE q.query_id <> c.neighbor_id),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+}
+
+
+# -------------------------------------------------------------- relational
+
+def _q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(30,6)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round("sum_qty", 4).alias("sum_qty"),
+            F.round("sum_base_price", 4).alias("sum_base_price"),
+            F.round("sum_disc_price", 4).alias("sum_disc_price"),
+            "count_order",
+        )
+    )
+
+
+def _q_top_orders_per_segment(spark, sf):
+    """Broadcast-join + top-k window: top 3 orders by totalprice per market
+    segment (small dim broadcast, no shuffle of the fact side beyond the
+    window partition)."""
+    cust = _t(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf, "orders")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def _q_top_events_per_user(spark, sf):
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+    )
+
+
+_RELATIONAL_ORACLES = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 4) AS sum_disc_price,
+               count(*) AS count_order
+        FROM lineitem GROUP BY 1, 2""",
+    "top_orders_per_segment": """
+        WITH ranked AS (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rank
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+        SELECT c_mktsegment, o_orderkey, o_totalprice, rank FROM ranked WHERE rank <= 3""",
+    "top_events_per_user": """
+        WITH ranked AS (
+          SELECT user_id, event_id, value,
+                 row_number() OVER (PARTITION BY user_id
+                    ORDER BY value DESC, event_id ASC) AS rank
+          FROM events)
+        SELECT user_id, event_id, value, rank FROM ranked WHERE rank <= 3""",
+}
+
+
+# --------------------------------------------------------------- multimodal
+
+def _q_multimodal_features(spark, sf):
+    from dataflow_spark.operators.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, n=64, seed=5)
+    return extract_features(assets).select(
+        "asset_id", "modality", "n_bytes", "content_sha", "frames_sampled"
+    )
+
+
+# ------------------------------------------------------------------ registry
+
+def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    q: dict[str, Callable] = {}
+    for name in _REFINER_ORACLES:
+        q[f"refine_{name}"] = _refiner_query(name)
+    for name in _FILTER_ORACLES:
+        q[f"filter_{name}"] = _filter_query(name)
+    q.update(
+        {
+            "dedup_exact_md5": _q_dedup_exact_md5,
+            "dedup_ccnet_md5_64": _q_dedup_ccnet,
+            "dedup_minhash_lsh": _q_dedup_minhash,
+            "dedup_simhash": _q_dedup_simhash,
+            "dedup_ngram_chunks": _q_dedup_ngram_chunks,
+            "dedup_embedding_cosine": _q_dedup_embedding,
+            "score_ngram": _q_score_ngram,
+            "score_token_count": _q_score_token_count,
+            "score_quality": _q_score_quality,
+            "score_lang_id": _q_score_lang_id,
+            "score_fingerprint": _q_score_fingerprint,
+            "score_lexical_diversity": _q_score_lexdiv,
+            "score_winnowing": _q_score_winnowing,
+            "window_tumbling": _q_window_tumbling,
+            "window_sliding": _q_window_sliding,
+            "window_session": _q_window_session,
+            "assembly_conversations": _q_assembly,
+            "join_user_assistant": _q_join_user_assistant,
+            "ann_topk_bruteforce": _q_ann_bruteforce,
+            "ann_topk_lsh": _q_ann_lsh,
+            "pricing_summary": _q_pricing_summary,
+            "top_orders_per_segment": _q_top_orders_per_segment,
+            "top_events_per_user": _q_top_events_per_user,
+            "multimodal_features": _q_multimodal_features,
+        }
+    )
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o: dict[str, str] = {}
+    for name, expr in _REFINER_ORACLES.items():
+        o[f"refine_{name}"] = f"SELECT doc_id, {expr} AS text FROM documents"
+    for name, sql in _FILTER_ORACLES.items():
+        o[f"filter_{name}"] = sql
+    o["dedup_exact_md5"] = """
+        WITH r AS (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, text FROM r WHERE rn = 1"""
+    o["dedup_ccnet_md5_64"] = """
+        WITH r AS (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY substr(md5(coalesce(text, '')), 1, 16)
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, text FROM r WHERE rn = 1"""
+    for name, sql in _SCORER_ORACLES.items():
+        o[name] = sql
+    o.update(_WINDOW_ORACLES)
+    o.update(_TRANSCRIPT_ORACLES)
+    o.update(_ANN_ORACLES)
+    o.update(_RELATIONAL_ORACLES)
+    # no oracle (driver rows-only check): dedup_minhash_lsh, dedup_simhash,
+    # dedup_ngram_chunks, dedup_embedding_cosine (order-dependent first-wins
+    # is not SQL-expressible), score_lexical_diversity (iterative MTLD/HDD),
+    # score_winnowing, ann_topk_lsh (approximate), multimodal_features
+    # (synthesized binary input).
+    return o

@@ -137,10 +137,13 @@ def lang_id_native(c: Column) -> Column:
         F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"), lambda x: x != ""),
         F.lower,
     )
-    hits = {}
-    for lang in ("en", "de", "fr", "es"):
+    def _hit_count(lang: str) -> Column:
         arr = F.array(*[F.lit(w) for w in sorted(X.LANG_STOPWORDS[lang])])
-        hits[lang] = F.size(F.filter(toks, lambda x, a=arr: F.array_contains(a, x)))
+        # NB: the lambda must take exactly one arg — Spark treats two-arg
+        # lambdas in higher-order functions as (element, index).
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    hits = {lang: _hit_count(lang) for lang in ("en", "de", "fr", "es")}
     c_en, c_de, c_fr, c_es = hits["en"], hits["de"], hits["fr"], hits["es"]
     return (
         F.when((c_en > 0) & (c_en >= c_de) & (c_en >= c_fr) & (c_en >= c_es), "en")
@@ -251,10 +254,11 @@ def winnowing_udf(k: int = 8, w: int = 16):
             for i in range(k):
                 h = (h * base + arr[i]) % mod
             hashes[0] = h
-            for i in range(1, n_grams):
-                h = ((h - arr[i - 1] * np.uint64(powk)) % mod) * base % mod
-                h = (h + arr[i + k - 1]) % mod
-                hashes[i] = h
+            with np.errstate(over="ignore"):  # deterministic uint64 wraparound
+                for i in range(1, n_grams):
+                    h = ((h - arr[i - 1] * np.uint64(powk)) % mod) * base % mod
+                    h = (h + arr[i + k - 1]) % mod
+                    hashes[i] = h
             if n_grams <= w:
                 return [int(hashes.min())]
             win = np.lib.stride_tricks.sliding_window_view(hashes, w)

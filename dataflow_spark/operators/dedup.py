@@ -346,20 +346,15 @@ def dedup_simhash(
     """SimHash near-dedup: 4×16-bit band keys → candidates → native
     bit_count(xor) hamming verify ≤ max_hamming → first-wins."""
     sh = df.select(F.col(order_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
-    bands = sh.select(
-        "id",
-        "sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.concat_ws(
-                    ":",
-                    i.cast("string"),
-                    F.shiftrightunsigned("sh", i * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
-                ),
-            )
-        ).alias("band"),
-    )
+    band_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(str(j)),
+            F.shiftrightunsigned("sh", j * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+        )
+        for j in range(4)
+    ]
+    bands = sh.select("id", "sh", F.explode(F.array(*band_exprs)).alias("band"))
     l, r = bands.alias("l"), bands.alias("r")
     edges = (
         l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")))

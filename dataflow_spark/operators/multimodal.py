@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns.
+
+The decode libraries (PIL/ffmpeg/librosa) are not in this container, so the
+decode step is a clearly-marked deterministic fake behind the same
+``mapInPandas`` plumbing a real decoder would use — schema, Arrow batch
+shape, partitioning and UDF signatures are real and tested; only the
+bytes→pixels step is stubbed (mirrors the reference's binary ingestion
+boundary, knowledge_cleaning/generate/file_or_url_to_markdown_converter.py:150).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("content_sha", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+        T.StructField("frames_sampled", T.IntegerType(), True),
+    ]
+)
+
+
+def _decode_stub(payload: bytes, modality: str) -> np.ndarray:
+    """STUB decoder: a real implementation would decode image/audio bytes.
+
+    Deterministic fake: derive a fixed-length float feature from the
+    byte content (so tests are stable and the Arrow plumbing is exercised
+    with realistic shapes). Raises for unknown modalities like a real
+    decoder would.
+    """
+    if modality not in ("image", "audio", "video"):
+        raise NotImplementedError(f"no decoder for modality {modality!r}")
+    h = hashlib.sha256(payload).digest()
+    vals = struct.unpack(">8Q", h[:64].ljust(64, b"\0"))
+    return (np.array(vals, dtype=np.float64) % 1000) / 1000.0
+
+
+def extract_features(df: DataFrame, frame_stride: int = 10) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Batch shape: one Arrow batch of (asset_id, modality, payload) in →
+    one batch of FEATURE_SCHEMA out. ``frames_sampled`` fakes video frame
+    sampling (n_bytes // (1000*stride)) to exercise the metadata path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: b if b is not None else b"")
+            feats = [
+                _decode_stub(b, m).tolist()
+                for b, m in zip(payloads, pdf["modality"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "modality": pdf["modality"],
+                    "n_bytes": payloads.map(len).astype("int32"),
+                    "content_sha": payloads.map(
+                        lambda b: hashlib.sha256(b).hexdigest()
+                    ),
+                    "feature": feats,
+                    "frames_sampled": (
+                        payloads.map(len) // (1000 * frame_stride)
+                    ).astype("int32"),
+                }
+            )
+
+    return df.select("asset_id", "modality", "payload").mapInPandas(
+        run, schema=FEATURE_SCHEMA
+    )
+
+
+def synth_assets(spark, n: int = 64, seed: int = 5) -> DataFrame:
+    """Deterministic fake binary assets (payload = seeded bytes) — the test
+    corpus for the multimodal plumbing."""
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = rng.bytes(256 + int(rng.randint(0, 4096)))
+        rows.append((i, modality, bytearray(payload), f"{modality}/fake"))
+    pdf = pd.DataFrame(rows, columns=["asset_id", "modality", "payload", "mime"])
+    return spark.createDataFrame(pdf)
