@@ -385,16 +385,21 @@ def dedup_ngram_chunks(
         F.sequence(F.lit(0), F.lit(n_chunks - 1)),
         lambda i: F.md5(F.substring(cc, i * step + 1, step)),
     )
-    tbl = (
-        df.select(F.col(order_col).alias("id"), F.explode(chunks).alias("ch"))
-        .distinct()
+    # positional chunk match: chunk i of one doc vs chunk i of another
+    tbl = df.select(
+        F.col(order_col).alias("id"), F.posexplode(chunks).alias("pos", "ch")
     )
     l, r = tbl.alias("l"), tbl.alias("r")
     return apply_first_wins(
         df,
         order_col,
         (
-            l.join(r, (F.col("l.ch") == F.col("r.ch")) & (F.col("l.id") < F.col("r.id")))
+            l.join(
+                r,
+                (F.col("l.ch") == F.col("r.ch"))
+                & (F.col("l.pos") == F.col("r.pos"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
             .groupBy(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
             .agg(F.count("*").alias("overlap"))
             .filter(F.col("overlap") >= diff_size)

@@ -1,0 +1,196 @@
+"""Stateful conversation assembly — session windows with ordered text.
+
+Re-expresses the reference's conversation assembly
+(/root/reference/dataflow/operators/conversations/consistent_chat.py:116-132:
+ordered role/value list, never ending on a user turn) as a custom stateful
+streaming operator: ``applyInPandasWithState`` keyed by conv_id with
+event-time timeout.
+
+Semantics (pinned, tested against a pandas oracle in tests/):
+* turns buffer in state; sessions split where the gap between consecutive
+  turn timestamps (sorted by ts, then turn_idx) exceeds ``gap``;
+* a session is emitted once the watermark passes ``session_end + gap``
+  (no more late turns can join it);
+* emitted conversation = turns sorted by turn_idx, with a trailing 'user'
+  turn dropped (reference rule); sessions that become empty after the trim
+  are suppressed.
+
+State size is bounded by the watermark: closed sessions leave state at
+emission, so state holds only the open tail of each conversation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_turns", T.IntegerType(), False),
+        T.StructField("transcript", T.StringType(), False),
+    ]
+)
+
+# state: parallel lists of buffered turns (Spark state rows must be a
+# struct of simple/array types)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("turn_idxs", T.ArrayType(T.IntegerType()), True),
+        T.StructField("roles", T.ArrayType(T.StringType()), True),
+        T.StructField("texts", T.ArrayType(T.StringType()), True),
+        T.StructField("ts_us", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def _assemble(rows: pd.DataFrame) -> Tuple[int, str]:
+    """Reference assembly: order by turn_idx, drop trailing user turn."""
+    rows = rows.sort_values("turn_idx")
+    if len(rows) and rows.iloc[-1]["role"] == "user":
+        rows = rows.iloc[:-1]
+    lines = [f"{r.role}|{r.text}" for r in rows.itertuples()]
+    return len(rows), "\n".join(lines)
+
+
+def _split_sessions(buf: pd.DataFrame, gap_us: int) -> list[pd.DataFrame]:
+    buf = buf.sort_values(["ts_us", "turn_idx"]).reset_index(drop=True)
+    breaks = (buf["ts_us"].diff() > gap_us).cumsum()
+    return [g for _, g in buf.groupby(breaks)]
+
+
+def make_assembler(gap_seconds: int = 600):
+    gap_us = gap_seconds * 1_000_000
+
+    def assemble_fn(
+        key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        if state.exists:
+            ti, ro, te, tu = state.get
+            buf = pd.DataFrame(
+                {"turn_idx": ti, "role": ro, "text": te, "ts_us": tu}
+            )
+        else:
+            buf = pd.DataFrame(columns=["turn_idx", "role", "text", "ts_us"])
+
+        if not state.hasTimedOut:
+            chunks = [p for p in pdfs if len(p)]
+            if chunks:
+                new = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+                new = pd.DataFrame(
+                    {
+                        "turn_idx": new["turn_idx"].astype("int64"),
+                        "role": new["role"],
+                        "text": new["text"].fillna(""),
+                        "ts_us": new["ts"].astype("datetime64[us]").astype("int64"),
+                    }
+                )
+                buf = new if buf.empty else pd.concat([buf, new], ignore_index=True)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out_rows: list[dict[str, Any]] = []
+        remaining: list[pd.DataFrame] = []
+        for sess in _split_sessions(buf, gap_us):
+            sess_end = int(sess["ts_us"].max())
+            if sess_end + gap_us < wm_us:
+                n, transcript = _assemble(sess)
+                if n > 0:
+                    out_rows.append(
+                        {
+                            "conv_id": conv_id,
+                            "session_start": pd.Timestamp(
+                                int(sess["ts_us"].min()), unit="us"
+                            ),
+                            "session_end": pd.Timestamp(sess_end, unit="us"),
+                            "n_turns": n,
+                            "transcript": transcript,
+                        }
+                    )
+            else:
+                remaining.append(sess)
+
+        if remaining:
+            keep = pd.concat(remaining, ignore_index=True)
+            state.update(
+                (
+                    keep["turn_idx"].astype("int64").tolist(),
+                    keep["role"].tolist(),
+                    keep["text"].tolist(),
+                    keep["ts_us"].astype("int64").tolist(),
+                )
+            )
+            # wake up when the earliest open session could close
+            next_close = int(keep["ts_us"].min()) + gap_us
+            state.setTimeoutTimestamp(max(next_close // 1000, wm_us // 1000 + 1))
+        else:
+            state.remove()
+
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    return assemble_fn
+
+
+def assemble_conversations(
+    stream: DataFrame,
+    gap_seconds: int = 600,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming conversation assembly (append mode)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_assembler(gap_seconds),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def assemble_conversations_batch(df: DataFrame, gap_seconds: int = 600) -> DataFrame:
+    """Batch twin of the streaming assembly (same pinned semantics) — used
+    for oracle comparison and for backfills."""
+    import pyspark.sql.functions as F
+
+    gap_us = gap_seconds * 1_000_000
+
+    def per_conv(pdf: pd.DataFrame) -> pd.DataFrame:
+        conv_id = pdf["conv_id"].iloc[0]
+        buf = pd.DataFrame(
+            {
+                "turn_idx": pdf["turn_idx"].astype("int64"),
+                "role": pdf["role"],
+                "text": pdf["text"].fillna(""),
+                "ts_us": pdf["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+        rows = []
+        for sess in _split_sessions(buf, gap_us):
+            n, transcript = _assemble(sess)
+            if n > 0:
+                rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "session_start": pd.Timestamp(int(sess["ts_us"].min()), unit="us"),
+                        "session_end": pd.Timestamp(int(sess["ts_us"].max()), unit="us"),
+                        "n_turns": n,
+                        "transcript": transcript,
+                    }
+                )
+        return pd.DataFrame(
+            rows, columns=["conv_id", "session_start", "session_end", "n_turns", "transcript"]
+        )
+
+    return df.select(
+        "conv_id", "turn_idx", "role", "text", F.col("ts").cast("timestamp").alias("ts")
+    ).groupBy("conv_id").applyInPandas(per_conv, schema=OUTPUT_SCHEMA)

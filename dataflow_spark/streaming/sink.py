@@ -1,0 +1,137 @@
+"""Exactly-once keyed MERGE sink with per-batch, per-partition lineage.
+
+Production target is Iceberg ``MERGE INTO ... ON t.conv_id = s.conv_id AND
+t.turn_idx = s.turn_idx`` inside ``foreachBatch`` (the reference's
+FileStorage.write step files, storage.py:212-277, generalized to an ACID
+table). No Iceberg runtime jar ships in this container, so the same
+contract is implemented on plain parquet:
+
+* data layout: ``<dir>/data/batch=<id>/`` written via a temp dir + atomic
+  rename; a batch directory is visible only when complete;
+* commit log: ``<dir>/_commits.jsonl`` appended AFTER the data rename —
+  a replayed micro-batch (same batchId after restart) is detected and its
+  rewrite is harmless (same deterministic content), the commit append is
+  skipped → exactly-once table state;
+* lineage: every commit records batchId, row count, per-spark-partition
+  row counts, and wall time — the per-partition lineage the north rule
+  asks for;
+* read side: ``read_table`` resolves the key (conv_id, turn_idx) by
+  last-writer-wins (max batchId) — MERGE semantics.
+
+``iceberg_merge_sink`` is the real-catalog path, exercised only when an
+Iceberg catalog is configured on the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class KeyedMergeSink:
+    table_dir: str
+    keys: tuple[str, ...] = ("conv_id", "turn_idx")
+
+    @property
+    def _commits_path(self) -> str:
+        return os.path.join(self.table_dir, "_commits.jsonl")
+
+    @property
+    def _lineage_path(self) -> str:
+        return os.path.join(self.table_dir, "_lineage.jsonl")
+
+    def committed_batches(self) -> set[int]:
+        if not os.path.exists(self._commits_path):
+            return set()
+        with open(self._commits_path) as f:
+            return {json.loads(line)["batch_id"] for line in f if line.strip()}
+
+    def foreach_batch(self, df: DataFrame, batch_id: int) -> None:
+        if batch_id in self.committed_batches():
+            # replay after restart — already durable, exactly-once no-op
+            return
+        os.makedirs(os.path.join(self.table_dir, "data"), exist_ok=True)
+        final = os.path.join(self.table_dir, "data", f"batch={batch_id}")
+        tmp = final + ".tmp"
+        t0 = time.time()
+        out = df.withColumn("__batch_id", F.lit(batch_id)).withColumn(
+            "__part_id", F.spark_partition_id()
+        )
+        out.write.mode("overwrite").parquet(tmp)
+        # per-partition lineage from the just-written files (no second
+        # computation of the batch)
+        spark = df.sparkSession
+        written = spark.read.parquet(tmp)
+        part_counts = {
+            str(r["__part_id"]): r["n"]
+            for r in written.groupBy("__part_id").agg(F.count("*").alias("n")).collect()
+        }
+        n_rows = sum(part_counts.values())
+        if os.path.exists(final):
+            # crashed between rename and commit append on a previous run
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        with open(self._lineage_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "batch_id": batch_id,
+                        "rows": n_rows,
+                        "partition_rows": part_counts,
+                        "wall_s": round(time.time() - t0, 3),
+                        "ts": time.time(),
+                    }
+                )
+                + "\n"
+            )
+        with open(self._commits_path, "a") as f:
+            f.write(json.dumps({"batch_id": batch_id, "rows": n_rows}) + "\n")
+
+    def read_table(self, spark: SparkSession) -> DataFrame:
+        """Merged view: last-writer-wins per key over committed batches."""
+        committed = self.committed_batches()
+        data_dir = os.path.join(self.table_dir, "data")
+        if not committed or not os.path.exists(data_dir):
+            raise FileNotFoundError(f"no committed batches in {self.table_dir}")
+        df = spark.read.parquet(os.path.join(data_dir, "batch=*"))
+        df = df.filter(
+            F.col("__batch_id").isin([int(b) for b in committed])
+        )
+        value_cols = [c for c in df.columns if c not in ("__part_id",)]
+        winners = df.groupBy(*[F.col(k) for k in self.keys]).agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in value_cols]), F.col("__batch_id")
+            ).alias("row")
+        )
+        return winners.select("row.*").drop("__batch_id", "__part_id")
+
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self._lineage_path):
+            return []
+        with open(self._lineage_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+
+def iceberg_merge_sink(table: str, keys: tuple[str, ...] = ("conv_id", "turn_idx")):
+    """foreachBatch function doing a real Iceberg MERGE INTO (requires an
+    Iceberg catalog on the session; not available in this container)."""
+
+    def fn(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        view = f"__merge_src_{batch_id}"
+        df.createOrReplaceTempView(view)
+        on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+        spark.sql(
+            f"MERGE INTO {table} t USING {view} s ON {on} "
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+        )
+
+    return fn

@@ -1,0 +1,222 @@
+"""Pinned pandas/pure-Python reference kernels — the pytest oracle.
+
+Each function is a 1:1 transcription of the cited reference operator's
+row-at-a-time logic (/root/reference/dataflow/...), intentionally written
+as sequential Python loops so the engine's vectorized/distributed
+implementations are checked against the original execution model, not
+against themselves. Library-dependent pieces (NLTK tokenizers, datasketch
+permutations, emoji dicts) use the engine's pinned stand-ins documented in
+dataflow_spark/functions/text.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import string
+
+import numpy as np
+import pandas as pd
+
+from dataflow_spark.functions import text as X
+
+PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+# refine archetype: overwrite text in place
+# (refine/remove_extra_spaces_refiner.py:53)
+def remove_extra_spaces(texts: list[str | None]) -> list[str | None]:
+    return [t if t is None else " ".join(t.split()) for t in texts]
+
+
+# refine/lowercase_refiner.py:48
+def lowercase(texts):
+    return [t if t is None else t.lower() for t in texts]
+
+
+# refine/remove_emoji_refiner.py:17,66 (engine-pinned ranges)
+def remove_emoji(texts):
+    return [t if t is None else X.EMOJI_PATTERN.sub("", t) for t in texts]
+
+
+# refine/html_url_remover_refiner.py:51-53
+def remove_html_url(texts):
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        t = re.sub(r"https?://\S+", "", t)
+        t = re.sub(r"<[^>]*>", "", t)
+        out.append(t)
+    return out
+
+
+# filter archetype: metric → 0/1 label → keep (heuristics.py:53-57)
+def word_number_keep(texts, lo=20, hi=100_000):
+    return [
+        t is not None and lo <= len(t.split()) < hi for t in texts
+    ]
+
+
+# heuristics.py:1283-1350
+def char_number_keep(texts, lo=100):
+    return [t is not None and len(t) >= lo for t in texts]
+
+
+# heuristics.py:13-58
+def colon_end_keep(texts):
+    return [
+        t is not None and t.strip() != "" and not t.endswith(":") for t in texts
+    ]
+
+
+# heuristics.py:846-919
+def mean_word_length_keep(texts, lo=3.0, hi=10.0):
+    out = []
+    for t in texts:
+        if t is None or not t.split():
+            out.append(False)
+            continue
+        words = t.split()
+        chars = len(re.sub(r"\s", "", t))
+        m = chars / len(words)
+        out.append(lo <= m < hi)
+    return out
+
+
+# heuristics.py:1209-1281
+def unique_words_keep(texts, threshold=0.1):
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(False)
+            continue
+        toks = t.lower().translate(PUNCT_TABLE).split()
+        out.append(bool(toks) and len(set(toks)) / len(toks) > threshold)
+    return out
+
+
+# heuristics.py:1000-1062
+def curly_bracket_keep(texts, threshold=0.025):
+    out = []
+    for t in texts:
+        if not t:
+            out.append(False)
+            continue
+        out.append((t.count("{") + t.count("}")) / len(t) < threshold)
+    return out
+
+
+# heuristics.py:1139-1207
+def lorem_ipsum_keep(texts, threshold=3e-8):
+    out = []
+    for t in texts:
+        if not t:
+            out.append(False)
+            continue
+        hits = len(re.findall(r"lorem\s+ipsum", t.lower()))
+        out.append(hits / len(t) <= threshold)
+    return out
+
+
+# heuristics.py:301-355
+def content_null_keep(texts):
+    return [t is not None and t.strip() != "" for t in texts]
+
+
+# filter/hash_deduplicator.py:75-89 — first-occurrence-wins md5 dedup
+def hash_dedup_keep(texts):
+    seen: set[str] = set()
+    keep = []
+    for t in texts:
+        h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+        keep.append(h not in seen)
+        seen.add(h)
+    return keep
+
+
+# filter/ccnet_deduplicator.py:95-104 — first-64-bits-of-sha1 dedup
+def ccnet_dedup_keep(texts):
+    seen: set[str] = set()
+    keep = []
+    for t in texts:
+        h = hashlib.sha1((t or "").encode("utf-8")).hexdigest()[:16]
+        keep.append(h not in seen)
+        seen.add(h)
+    return keep
+
+
+# filter/minhash_deduplicator.py:47-86 — LSH first-wins: row kept iff no
+# band of its signature collides with a previously-kept row's band.
+def minhash_dedup_keep(texts, num_perm=128, bands=16, ngram=5, seed=1):
+    from dataflow_spark.operators.dedup import _MERSENNE, _rolling_byte_ngram_hashes
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
+    r = num_perm // bands
+
+    def sig(t: str) -> np.ndarray:
+        norm = " ".join((t or "").lower().split())
+        hv = _rolling_byte_ngram_hashes(norm.encode("utf-8"), ngram)
+        if hv.size == 0:
+            return np.zeros(num_perm, dtype=np.int64)
+        m = (hv[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+        return m.min(axis=0).astype(np.int64)
+
+    index: dict = {}
+    keep = []
+    for t in texts:
+        s = sig(t)
+        keys = [(i, tuple(s[i * r : (i + 1) * r])) for i in range(bands)]
+        dup = any(k in index for k in keys)
+        keep.append(not dup)
+        if not dup:
+            for k in keys:
+                index[k] = True
+    return keep
+
+
+# eval/statistics/ngram_scorer.py:38-50 — unique/total word 5-grams on
+# lowercased, punctuation-stripped text (1.0 when < n tokens).
+def ngram_score(texts, n=5):
+    out = []
+    for t in texts:
+        toks = (t or "").lower().translate(PUNCT_TABLE).split()
+        if len(toks) < n:
+            out.append(1.0)
+            continue
+        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        out.append(len(set(grams)) / len(grams))
+    return out
+
+
+# conversations/consistent_chat.py:116-132 — ordered assembly, drop
+# trailing user turn; sessions split on gap.
+def assemble_sessions(pdf: pd.DataFrame, gap_seconds: int = 600) -> pd.DataFrame:
+    rows = []
+    for conv_id, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "turn_idx"]).reset_index(drop=True)
+        gaps = g["ts"].diff().dt.total_seconds() > gap_seconds
+        for _, sess in g.groupby(gaps.cumsum()):
+            s = sess.sort_values("turn_idx")
+            if len(s) and s.iloc[-1]["role"] == "user":
+                s = s.iloc[:-1]
+            if not len(s):
+                continue
+            rows.append(
+                {
+                    "conv_id": conv_id,
+                    "session_start": sess["ts"].min(),
+                    "session_end": sess["ts"].max(),
+                    "n_turns": len(s),
+                    "transcript": "\n".join(
+                        f"{r.role}|{r.text if r.text is not None else ''}"
+                        for r in s.itertuples()
+                    ),
+                }
+            )
+    return pd.DataFrame(
+        rows, columns=["conv_id", "session_start", "session_end", "n_turns", "transcript"]
+    )

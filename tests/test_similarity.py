@@ -1,0 +1,76 @@
+"""ANN: exact top-k vs numpy oracle; LSH recall floor; multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from dataflow_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+
+
+def _toy_embeddings(spark, n=120, dim=24, seed=2):
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(n, dim))
+    pdf = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": list(map(list, mat))})
+    return spark.createDataFrame(pdf), mat
+
+
+def _numpy_topk(mat, qids, k):
+    sims = mat @ mat.T
+    norms = np.linalg.norm(mat, axis=1)
+    cos = sims / np.outer(norms, norms)
+    out = {}
+    for q in qids:
+        order = sorted(
+            ((round(cos[q, j], 6), -j) for j in range(len(mat)) if j != q), reverse=True
+        )
+        out[q] = [(-j, s) for s, j in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark):
+    df, mat = _toy_embeddings(spark)
+    qids = list(range(8))
+    got = ann_topk_bruteforce(df, df.filter(F.col("vec_id") < 8), k=5).toPandas()
+    oracle = _numpy_topk(mat, qids, 5)
+    for q in qids:
+        g = got[got.query_id == q].sort_values("rank")
+        assert [int(x) for x in g.neighbor_id] == [j for j, _ in oracle[q]]
+        assert np.allclose(g.cos_sim.tolist(), [s for _, s in oracle[q]], atol=2e-6)
+
+
+def test_lsh_recall_floor(spark):
+    df, mat = _toy_embeddings(spark, n=200)
+    q = df.filter(F.col("vec_id") < 10)
+    exact = ann_topk_bruteforce(df, q, k=5).toPandas()
+    approx = ann_topk_lsh(df, q, k=5, n_tables=6, n_planes=8).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    from dataflow_spark.operators.multimodal import extract_features, synth_assets
+
+    out = extract_features(synth_assets(spark, n=12)).toPandas()
+    assert len(out) == 12
+    assert set(out.modality) == {"image", "audio", "video"}
+    assert (out.n_bytes > 0).all()
+    assert out.feature.map(len).eq(8).all()
+    # deterministic: same payload → same sha/feature
+    out2 = extract_features(synth_assets(spark, n=12)).toPandas()
+    assert out.content_sha.tolist() == out2.content_sha.tolist()
+
+
+def test_multimodal_unknown_modality_raises(spark):
+    import pandas as pd
+    import pytest
+
+    from dataflow_spark.operators.multimodal import extract_features
+
+    pdf = pd.DataFrame(
+        {"asset_id": [0], "modality": ["hologram"], "payload": [b"x"]}
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="hologram|PythonException"):
+        extract_features(df).collect()

@@ -1,0 +1,99 @@
+"""Exactly-once sink: kill mid-stream, restart from checkpoint, verify the
+merged table equals batch truth with unique keys, replays are no-ops, and
+per-partition lineage is recorded."""
+
+import os
+import time
+
+import pandas as pd
+
+from dataflow_spark.datagen import make_transcripts
+from dataflow_spark.functions.refiners import apply_refiners
+from dataflow_spark.streaming.sink import KeyedMergeSink
+from dataflow_spark.streaming.source import file_stream
+
+
+def _write_chunks(tmp_path, n=4000, chunks=4, seed=9):
+    src = tmp_path / "src"
+    src.mkdir()
+    pdf = make_transcripts(n, seed=seed)
+    pdf = pdf.assign(ts=pdf.ts.astype("datetime64[us]"))
+    step = n // chunks
+    for i in range(chunks):
+        pdf.iloc[i * step : (i + 1) * step].to_parquet(
+            str(src / f"part{i}.parquet"), index=False
+        )
+    return str(src), pdf
+
+
+def test_exactly_once_with_kill_restart(spark, tmp_path):
+    srcdir, _ = _write_chunks(tmp_path)
+    sink = KeyedMergeSink(str(tmp_path / "table"))
+    ck = str(tmp_path / "ck")
+
+    def run(stop_after=None):
+        stream = file_stream(spark, srcdir, max_files_per_trigger=1)
+        refined = apply_refiners(stream, ["remove_extra_spaces"])
+        q = (
+            refined.writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_after is not None:
+            while len(sink.committed_batches()) < stop_after and q.isActive:
+                time.sleep(0.2)
+            q.stop()
+            try:
+                q.awaitTermination(60)
+            except Exception:
+                pass
+        else:
+            q.awaitTermination(300)
+
+    run(stop_after=2)  # simulated failure
+    assert len(sink.committed_batches()) >= 2
+    run()  # recovery from checkpoint
+    assert sorted(sink.committed_batches()) == [0, 1, 2, 3]
+
+    final = sink.read_table(spark).orderBy("conv_id", "turn_idx").toPandas()
+    truth = (
+        apply_refiners(spark.read.parquet(srcdir), ["remove_extra_spaces"])
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+    )
+    assert final.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    cols = ["conv_id", "turn_idx", "role", "text", "tool"]
+    assert final[cols].reset_index(drop=True).equals(truth[cols].reset_index(drop=True))
+
+    lin = sink.lineage()
+    assert len(lin) == 4
+    assert all("partition_rows" in r and r["rows"] > 0 for r in lin)
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    srcdir, _ = _write_chunks(tmp_path, n=1000, chunks=1)
+    sink = KeyedMergeSink(str(tmp_path / "table2"))
+    df = apply_refiners(spark.read.parquet(srcdir), ["remove_extra_spaces"])
+    sink.foreach_batch(df, 0)
+    rows_before = sink.read_table(spark).count()
+    commits_before = os.path.getsize(sink._commits_path)
+    sink.foreach_batch(df, 0)  # replay
+    assert sink.read_table(spark).count() == rows_before
+    assert os.path.getsize(sink._commits_path) == commits_before
+
+
+def test_merge_upserts_by_key(spark, tmp_path):
+    sink = KeyedMergeSink(str(tmp_path / "table3"))
+    df1 = spark.createDataFrame(
+        [("c1", 0, "user", "v1", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    df2 = spark.createDataFrame(
+        [("c1", 0, "user", "v2", "", None), ("c1", 1, "assistant", "w", "", None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    sink.foreach_batch(df1, 0)
+    sink.foreach_batch(df2, 1)
+    out = {(r.conv_id, r.turn_idx): r.text for r in sink.read_table(spark).collect()}
+    assert out == {("c1", 0): "v2", ("c1", 1): "w"}  # last writer wins
