@@ -720,6 +720,272 @@ _RELATIONAL_ORACLES = {
 }
 
 
+# ------------------------------------------------- splitter / retrieval / eval
+
+def _q_split_chars(spark, sf):
+    from dataflow_spark.operators.splitter import split_chars
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return split_chars(docs, chunk_size=200, overlap=20)
+
+
+def _q_split_words(spark, sf):
+    from dataflow_spark.operators.splitter import split_words
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return split_words(docs, chunk_size=50, overlap=5)
+
+
+def _q_split_sentences(spark, sf):
+    from dataflow_spark.operators.splitter import split_sentences
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return split_sentences(docs, chunk_size=200)
+
+
+def _q_bm25(spark, sf):
+    from dataflow_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return bm25_topk(docs, queries, k=5, query_id="query_id")
+
+
+def _q_f1(spark, sf):
+    from dataflow_spark.functions.eval_scorers import f1_native
+
+    a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("pred"))
+    b = _t(spark, sf, "documents").select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("gold")
+    )
+    pairs = a.join(b, "doc_id")
+    return pairs.select(
+        "doc_id", F.round(f1_native(F.col("pred"), F.col("gold")), 9).alias("f1")
+    )
+
+
+def _q_bleu(spark, sf):
+    from dataflow_spark.functions.eval_scorers import bleu_udf
+
+    a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("cand"))
+    b = _t(spark, sf, "documents").select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref")
+    )
+    pairs = a.join(b, "doc_id")
+    return pairs.select(
+        "doc_id", F.round(bleu_udf()(F.col("cand"), F.col("ref")), 9).alias("bleu")
+    )
+
+
+def _q_token_stats(spark, sf):
+    docs = _t(spark, sf, "documents")
+    toks = F.size(
+        F.filter(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"), lambda x: x != "")
+    )
+    return docs.select(toks.alias("n")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.min("n").cast("long").alias("min_tokens"),
+        F.max("n").cast("long").alias("max_tokens"),
+        F.round(F.avg("n"), 9).alias("avg_tokens"),
+    )
+
+
+def _q_category_info(spark, sf):
+    docs = _t(spark, sf, "documents")
+    total = docs.count()
+    return (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .select("lang", "n", F.round(F.col("n") / F.lit(float(total)), 9).alias("share"))
+    )
+
+
+def _q_answer_ngram_filter(spark, sf):
+    """AnswerNgramFilter (reasoning/filter/answer_ngram_filter.py:88-100):
+    ngram repetition score on question+answer concat, keep in range."""
+    a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("q"))
+    b = _t(spark, sf, "documents").select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ans")
+    )
+    pairs = a.join(b, "doc_id").withColumn(
+        "qa", F.concat_ws(" ", "q", "ans")
+    )
+    scored = pairs.select(
+        "doc_id", F.round(S.ngram_score_native(F.col("qa")), 9).alias("repetition")
+    )
+    return scored.filter((F.col("repetition") >= 0.1) & (F.col("repetition") <= 1.0))
+
+
+def _q_consistent_chat_gen(spark, sf):
+    """ConsistentChatGenerator (conversations/consistent_chat.py:12-141)
+    shape: 0 rows -> N synthetic multi-turn dialogs, deterministic
+    (arithmetic in place of the reference's LLM calls); even turn count so
+    no dialog ends on a user turn."""
+    n = 100
+    base = spark.range(n).select(F.col("id").cast("long").alias("i"))
+    n_turns = (F.lit(2) + (F.col("i") * 7) % 8).cast("int")
+    turns = F.transform(
+        F.sequence(F.lit(0), n_turns - 1),
+        lambda t: F.concat(
+            F.when(t % 2 == 0, F.lit("user|q")).otherwise(F.lit("assistant|a")),
+            F.col("i").cast("string"),
+            F.lit("_"),
+            t.cast("string"),
+        ),
+    )
+    return base.select(
+        F.concat(F.lit("gen"), F.col("i").cast("string")).alias("conv_id"),
+        n_turns.alias("n_turns"),
+        F.array_join(turns, "\n").alias("conversation"),
+    )
+
+
+def _q_pipeline_pt_chain(spark, sf):
+    """Composed pipeline (Pipeline API): refine×2 → exact dedup → filters.
+    End-to-end compose check with a full SQL oracle."""
+    from dataflow_spark.pipeline import Pipeline
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    pipe = (
+        Pipeline(initial_keys=["doc_id", "text"])
+        .refine("remove_extra_spaces")
+        .refine("lowercase")
+        .dedup_exact(["text"], "doc_id")
+        .filter("content_null")
+        .filter("word_number")
+        .compile()
+    )
+    return pipe.run(docs)
+
+
+_EXTRA_ORACLES = {
+    "split_chars": """
+        WITH m AS (
+          SELECT doc_id, coalesce(text,'') AS t,
+                 greatest(CAST(ceil((length(coalesce(text,'')) - 20) / 180.0) AS INT), 1) AS nc
+          FROM documents)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx, substr(t, i*180 + 1, 200) AS chunk
+        FROM m, unnest(range(0, nc)) AS u(i)
+        WHERE substr(t, i*180 + 1, 200) <> ''""",
+    "split_words": f"""
+        WITH m AS (
+          SELECT doc_id, {_TOKS} AS toks FROM documents),
+        n AS (
+          SELECT doc_id, toks,
+                 greatest(CAST(ceil((len(toks) - 5) / 45.0) AS INT), 1) AS nc
+          FROM m)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               array_to_string(list_slice(toks, i*45 + 1, i*45 + 50), ' ') AS chunk
+        FROM n, unnest(range(0, nc)) AS u(i)
+        WHERE array_to_string(list_slice(toks, i*45 + 1, i*45 + 50), ' ') <> ''""",
+    "bm25_topk": f"""
+        WITH doc_terms AS (
+          SELECT doc_id, unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM doc_terms GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM doc_terms GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs FROM documents),
+        avg_l AS (SELECT avg(dl) AS avg_len FROM dl),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf FROM dft),
+        q_terms AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+          FROM documents WHERE doc_id < 5),
+        qtf AS (SELECT query_id, term, count(*) AS qtf FROM q_terms GROUP BY 1, 2),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avg_len FROM avg_l)))) AS bm25
+          FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) JOIN qtf q USING (term)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 5""",
+    "f1_score": f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(regexp_replace(
+                     translate(lower(coalesce(text,'')), '{_PUNCT_SQL}', ''),
+                     '\\b(a|an|the)\\b', ' ', 'g')), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id, a.toks AS p, b.toks AS g
+          FROM norm a JOIN norm b ON b.doc_id = a.doc_id + 1),
+        ov AS (
+          SELECT doc_id, p, g,
+                 list_sum(list_transform(list_distinct(p),
+                     t -> least(len(list_filter(p, x -> x = t)),
+                                len(list_filter(g, x -> x = t))))) AS overlap
+          FROM pairs)
+        SELECT doc_id,
+               round(CASE
+                 WHEN len(p) = 0 OR len(g) = 0 THEN CAST(len(p) = 0 AND len(g) = 0 AS DOUBLE)
+                 WHEN overlap IS NULL OR overlap = 0 THEN 0.0
+                 ELSE 2 * (overlap / CAST(len(p) AS DOUBLE)) * (overlap / CAST(len(g) AS DOUBLE))
+                      / ((overlap / CAST(len(p) AS DOUBLE)) + (overlap / CAST(len(g) AS DOUBLE)))
+               END, 9) AS f1
+        FROM ov""",
+    "token_stats": f"""
+        WITH m AS (SELECT len({_TOKS}) AS n FROM documents)
+        SELECT count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS total_tokens,
+               CAST(min(n) AS BIGINT) AS min_tokens,
+               CAST(max(n) AS BIGINT) AS max_tokens,
+               round(avg(n), 9) AS avg_tokens
+        FROM m""",
+    "category_info": """
+        SELECT lang, count(*) AS n,
+               round(count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE), 9) AS share
+        FROM documents GROUP BY lang""",
+    "answer_ngram_filter": f"""
+        WITH pairs AS (
+          SELECT a.doc_id, concat_ws(' ', a.text, b.text) AS qa
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+        m AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                    translate(lower(coalesce(qa,'')), '{_PUNCT_SQL}', ''), '\\s+'),
+                    x -> x <> '') AS toks
+          FROM pairs),
+        s AS (
+          SELECT doc_id,
+                 round(CASE WHEN len(toks) < 5 THEN 1.0
+                       ELSE len(list_distinct(list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) * 1.0
+                            / (len(toks) - 4) END, 9) AS repetition
+          FROM m)
+        SELECT doc_id, repetition FROM s WHERE repetition >= 0.1 AND repetition <= 1.0""",
+    "consistent_chat_gen": """
+        WITH base AS (SELECT i FROM range(0, 100) AS t(i)),
+        d AS (SELECT i, CAST(2 + (i * 7) % 8 AS INT) AS n_turns FROM base)
+        SELECT 'gen' || CAST(i AS VARCHAR) AS conv_id, n_turns,
+               array_to_string(list_transform(range(0, n_turns),
+                   t -> (CASE WHEN t % 2 = 0 THEN 'user|q' ELSE 'assistant|a' END)
+                        || CAST(i AS VARCHAR) || '_' || CAST(t AS VARCHAR)),
+                   chr(10)) AS conversation
+        FROM d""",
+    "pipeline_pt_chain": f"""
+        WITH refined AS (
+          SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS text
+          FROM documents),
+        dedup AS (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY md5(coalesce(text,''))
+                                    ORDER BY doc_id) AS rn
+          FROM refined)
+        SELECT doc_id, text FROM dedup
+        WHERE rn = 1 AND text IS NOT NULL AND regexp_matches(text, '\\S')
+          AND len({_TOKS}) >= 20 AND len({_TOKS}) < 100000""",
+}
+
+
 # --------------------------------------------------------------- multimodal
 
 def _q_multimodal_features(spark, sf):
@@ -765,6 +1031,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top_orders_per_segment": _q_top_orders_per_segment,
             "top_events_per_user": _q_top_events_per_user,
             "multimodal_features": _q_multimodal_features,
+            "split_chars": _q_split_chars,
+            "split_words": _q_split_words,
+            "split_sentences": _q_split_sentences,
+            "bm25_topk": _q_bm25,
+            "f1_score": _q_f1,
+            "bleu_score": _q_bleu,
+            "token_stats": _q_token_stats,
+            "category_info": _q_category_info,
+            "answer_ngram_filter": _q_answer_ngram_filter,
+            "consistent_chat_gen": _q_consistent_chat_gen,
+            "pipeline_pt_chain": _q_pipeline_pt_chain,
         }
     )
     return q
@@ -796,6 +1073,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_TRANSCRIPT_ORACLES)
     o.update(_ANN_ORACLES)
     o.update(_RELATIONAL_ORACLES)
+    o.update(_EXTRA_ORACLES)
     # no oracle (driver rows-only check): dedup_minhash_lsh, dedup_simhash,
     # dedup_ngram_chunks, dedup_embedding_cosine (order-dependent first-wins
     # is not SQL-expressible), score_lexical_diversity (iterative MTLD/HDD),

@@ -1,0 +1,133 @@
+"""Generation-eval scorers: token F1 and sentence BLEU (deterministic).
+
+Reference: F1Scorer (agentic_rag/eval/f1_scorer.py:36-83) — max token-level
+F1 of a prediction against gold answers after normalization; BleuScorer
+(eval/gen/bleu_scorer.py:9) — sentence BLEU. Both are pure functions of the
+two strings → Arrow pandas_udfs; F1 also has a native Catalyst form (the
+multiset intersection via arrays) used by the oracle-checked query.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import string
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_ARTICLES = re.compile(r"\b(a|an|the)\b")
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def normalize_answer(s: str) -> str:
+    """lower → strip punctuation → drop articles → collapse whitespace
+    (f1_scorer.py:36-50 normalization chain)."""
+    s = (s or "").lower().translate(_PUNCT_TABLE)
+    s = _ARTICLES.sub(" ", s)
+    return " ".join(s.split())
+
+
+def token_f1(prediction: str, gold: str) -> float:
+    p = normalize_answer(prediction).split()
+    g = normalize_answer(gold).split()
+    if not p or not g:
+        return float(p == g)
+    common = Counter(p) & Counter(g)
+    overlap = sum(common.values())
+    if overlap == 0:
+        return 0.0
+    precision = overlap / len(p)
+    recall = overlap / len(g)
+    return 2 * precision * recall / (precision + recall)
+
+
+def f1_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _udf(pred: pd.Series, gold: pd.Series) -> pd.Series:
+        return pd.Series(
+            [token_f1(p, g) for p, g in zip(pred.fillna(""), gold.fillna(""))],
+            dtype="float64",
+        )
+
+    return _udf
+
+
+def f1_native(pred: Column, gold: Column) -> Column:
+    """Native token-F1: multiset overlap via per-token min counts.
+
+    overlap = Σ_t min(count_p(t), count_g(t)) computed with aggregate over
+    the distinct tokens of the prediction."""
+    from dataflow_spark.functions.text import PUNCTUATION
+
+    def norm_toks(c: Column) -> Column:
+        s = F.translate(F.lower(F.coalesce(c, F.lit(""))), PUNCTUATION, "")
+        s = F.regexp_replace(s, r"\b(a|an|the)\b", " ")
+        return F.filter(F.split(F.trim(s), r"\s+"), lambda x: x != "")
+
+    p, g = norm_toks(pred), norm_toks(gold)
+
+    def count_in(arr: Column, tok: Column) -> Column:
+        return F.size(F.filter(arr, lambda x: x == tok))
+
+    overlap = F.aggregate(
+        F.array_distinct(p),
+        F.lit(0),
+        lambda acc, t: acc + F.least(count_in(p, t), count_in(g, t)),
+    )
+    np_, ng = F.size(p), F.size(g)
+    prec = overlap.cast("double") / np_
+    rec = overlap.cast("double") / ng
+    return (
+        F.when((np_ == 0) | (ng == 0), ((np_ == 0) & (ng == 0)).cast("double"))
+        .when(overlap == 0, F.lit(0.0))
+        .otherwise(2 * prec * rec / (prec + rec))
+    )
+
+
+def sentence_bleu(candidate: str, reference: str, max_n: int = 4) -> float:
+    """Sentence BLEU-4 with +1 smoothing on higher-order n-grams and the
+    standard brevity penalty (deterministic; BleuScorer stand-in)."""
+    c_toks = (candidate or "").lower().split()
+    r_toks = (reference or "").lower().split()
+    if not c_toks or not r_toks:
+        return 0.0
+    log_sum = 0.0
+    orders = 0
+    for n in range(1, max_n + 1):
+        c_ngrams = Counter(
+            tuple(c_toks[i : i + n]) for i in range(len(c_toks) - n + 1)
+        )
+        r_ngrams = Counter(
+            tuple(r_toks[i : i + n]) for i in range(len(r_toks) - n + 1)
+        )
+        total = sum(c_ngrams.values())
+        if total == 0:
+            break  # candidate shorter than n — use the achievable orders
+        match = sum((c_ngrams & r_ngrams).values())
+        if n == 1:
+            p = match / total
+            if p == 0:
+                return 0.0
+        else:
+            p = (match + 1) / (total + 1)  # add-one smoothing
+        log_sum += math.log(p)
+        orders = n
+    if orders == 0:
+        return 0.0
+    bp = 1.0 if len(c_toks) > len(r_toks) else math.exp(1 - len(r_toks) / len(c_toks))
+    return bp * math.exp(log_sum / orders)
+
+
+def bleu_udf():
+    @F.pandas_udf(T.DoubleType())
+    def _udf(cand: pd.Series, ref: pd.Series) -> pd.Series:
+        return pd.Series(
+            [sentence_bleu(c, r) for c, r in zip(cand.fillna(""), ref.fillna(""))],
+            dtype="float64",
+        )
+
+    return _udf

@@ -30,17 +30,27 @@ def ngram_score_native(c: Column, n: int = 5) -> Column:
     """unique word-n-grams / total word-n-grams on normalized text
     (lowercase, ASCII punctuation stripped). 1.0 when fewer than n tokens —
     "no repetition". Reference: eval/statistics/ngram_scorer.py:38-50.
+
+    The token array is bound once via a lateral lambda (Catalyst does NOT
+    eliminate common subexpressions across lambda bodies — without this,
+    tokenization re-runs once per gram, O(words x split)).
     """
     norm = F.translate(F.lower(F.coalesce(c, F.lit(""))), X.PUNCTUATION, "")
-    toks = F.filter(F.split(F.trim(norm), r"\s+"), lambda x: x != "")
-    k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
-    return F.when(k <= 0, F.lit(1.0)).otherwise(
-        F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
-    )
+    toks_expr = F.filter(F.split(F.trim(norm), r"\s+"), lambda x: x != "")
+
+    def score_of(toks: Column) -> Column:
+        k = F.size(toks) - (n - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+        return F.when(k <= 0, F.lit(1.0)).otherwise(
+            F.size(F.array_distinct(grams)).cast("double") / F.size(grams)
+        )
+
+    # evaluate toks once per row: wrap as single-element array -> transform
+    return F.element_at(F.transform(F.array(F.struct(toks_expr.alias("t"))),
+                                    lambda s: score_of(s["t"])), 1)
 
 
 def ngram_score_kernel(s: pd.Series, n: int = 5) -> pd.Series:

@@ -165,7 +165,12 @@ def first_wins_keep_ids(nodes_with_edges: DataFrame, edges: DataFrame) -> DataFr
 
 def apply_first_wins(df: DataFrame, id_col: str, edges: DataFrame) -> DataFrame:
     """Filter ``df`` to first-wins survivors given candidate edges over
-    ``id_col`` (long order-rank ids). Rows without any edge are kept."""
+    ``id_col`` (long order-rank ids). Rows without any edge are kept.
+
+    The edge set is materialized once (it is consumed by the component
+    loop AND the resolve join — recomputing the banding self-join per
+    traversal would dominate)."""
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -199,24 +204,24 @@ def with_order_rank(df: DataFrame, order_cols: list[str], rank_col: str = "__ord
 
 
 def _rolling_byte_ngram_hashes(b: bytes, n: int) -> np.ndarray:
-    """All byte-n-gram polynomial rolling hashes of b, vectorized-ish."""
+    """All distinct byte-n-gram polynomial hashes of b, fully vectorized.
+
+    base 257 > 255 makes the polynomial injective over byte n-grams, and
+    for n <= 7 the exact value fits in int64 (255 * sum(257^i) < 2^63) —
+    no modulus, no Python loop: one sliding-window matmul.
+    """
     if len(b) < n:
-        return np.array([zlib.crc32(b)], dtype=np.uint64) if b else np.array([], dtype=np.uint64)
-    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-    mod = np.uint64(_MERSENNE)
-    base = np.uint64(257)
-    powk = np.uint64(pow(257, n - 1, _MERSENNE))
-    m = len(b) - n + 1
-    out = np.empty(m, dtype=np.uint64)
-    h = np.uint64(0)
-    for i in range(n):
-        h = (h * base + arr[i]) % mod
-    out[0] = h
-    for i in range(1, m):
-        h = ((h + mod - arr[i - 1] * powk % mod) % mod) * base % mod
-        h = (h + arr[i + n - 1]) % mod
-        out[i] = h
-    return np.unique(out)
+        return (
+            np.array([zlib.crc32(b)], dtype=np.uint64)
+            if b
+            else np.array([], dtype=np.uint64)
+        )
+    if n > 7:  # would overflow int64 — not used by the engine defaults
+        raise ValueError("byte-ngram hash supports n <= 7")
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    powers = (257 ** np.arange(n - 1, -1, -1)).astype(np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, n)
+    return np.unique(win @ powers).astype(np.uint64)
 
 
 def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):

@@ -33,9 +33,17 @@ def get_spark(
     applies unchanged (the job is shipped via ``spark-submit --py-files``).
     """
     n = cores or default_parallelism()
+    under_submit = os.environ.get("DFS_UNDER_SPARK_SUBMIT") == "1"
+    builder = SparkSession.builder.appName(app_name)
+    if not under_submit:
+        # under spark-submit the master AND the parallelism confs come from
+        # the launcher; standalone python runs get a sized local master
+        builder = builder.master(f"local[{n}]")
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n)
+        ).config("spark.default.parallelism", str(2 * n))
     builder = (
-        SparkSession.builder.master(f"local[{n}]")
-        .appName(app_name)
+        builder
         # AQE: runtime partition coalescing + skew-join splitting. The
         # transcripts table has Zipf-skewed conv_id (FIXTURES.md §1); AQE
         # plus explicit salting (operators/dedup.py, streaming/) is the
@@ -47,9 +55,11 @@ def get_spark(
         # "vectorized pandas/Arrow UDFs, no per-row Python".
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n))
-        .config("spark.default.parallelism", str(2 * n))
         .config("spark.sql.session.timeZone", "UTC")
+        # split files finely enough that scan-stage parallelism is not
+        # capped by file count on small-file local datasets (at real scale
+        # the default 128m is right — override via extra_conf)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         # Streaming state: RocksDB would be the cluster choice; the HDFS
         # store is fine for local state sizes and has no native dependency.
         .config("spark.sql.streaming.stateStore.stateSchemaCheck", "true")

@@ -1,0 +1,130 @@
+"""Splitter, BM25, F1/BLEU, pipeline API."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.functions.eval_scorers import (
+    bleu_udf,
+    f1_native,
+    f1_udf,
+    sentence_bleu,
+    token_f1,
+)
+from dataflow_spark.operators.retrieval import bm25_topk
+from dataflow_spark.operators.splitter import split_chars, split_sentences, split_words
+from dataflow_spark.pipeline import Pipeline
+
+
+def test_split_chars_roundtrip(spark):
+    text = "abcdefghij" * 30  # 300 chars
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = split_chars(df, chunk_size=100, overlap=10).orderBy("chunk_idx").collect()
+    # step 90: chunks at 0, 90, 180, 270
+    assert [r.chunk_idx for r in out] == [0, 1, 2, 3]
+    assert out[0].chunk == text[:100]
+    assert out[1].chunk == text[90:190]
+    assert out[3].chunk == text[270:300]
+    # overlap property: consecutive chunks share 10 chars
+    assert out[0].chunk[-10:] == out[1].chunk[:10]
+
+
+def test_split_words(spark):
+    text = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = split_words(df, chunk_size=8, overlap=2).orderBy("chunk_idx").collect()
+    assert out[0].chunk.split() == [f"w{i}" for i in range(8)]
+    assert out[1].chunk.split() == [f"w{i}" for i in range(6, 14)]
+
+
+def test_split_sentences_packs_whole_sentences(spark):
+    text = "One two three. Four five six! Seven eight? " * 4
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = split_sentences(df, chunk_size=60).orderBy("chunk_idx").collect()
+    assert len(out) > 1
+    joined = "".join(r.chunk for r in out)
+    # no sentence is split across chunks: rejoining loses only whitespace
+    assert joined.replace(" ", "") == text.replace(" ", "")
+
+
+def test_bm25_self_retrieval(spark):
+    rows = [
+        (0, "spark streaming engine with watermarks and state"),
+        (1, "pandas dataframe batch processing in python"),
+        (2, "iceberg table format with merge into support"),
+        (3, "watermarks and state in streaming systems"),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = corpus.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = bm25_topk(corpus, queries, k=2, query_id="query_id").orderBy("rank").collect()
+    assert out[0].doc_id == 0  # exact self match first
+    assert out[1].doc_id == 3  # shared 'watermarks and state'
+
+
+def test_token_f1_known_values():
+    assert token_f1("the cat sat", "the cat sat") == 1.0
+    assert token_f1("cat", "dog") == 0.0
+    assert token_f1("", "") == 1.0
+    assert token_f1("a b", "") == 0.0
+    # multiset: repeated token counted with multiplicity
+    assert abs(token_f1("x x y", "x y y") - 2 * (2 / 3) * (2 / 3) / (4 / 3)) < 1e-12
+
+
+def test_f1_native_matches_python(spark, corpus_pdf):
+    pdf = corpus_pdf.head(200)
+    pred = pdf["text"].fillna("").tolist()
+    gold = pdf["text"].fillna("").iloc[::-1].tolist()
+    df = spark.createDataFrame(
+        list(zip(range(len(pred)), pred, gold)), "rid long, pred string, gold string"
+    )
+    got = (
+        df.select("rid", f1_native(F.col("pred"), F.col("gold")).alias("f1"))
+        .toPandas()
+        .sort_values("rid")["f1"]
+        .tolist()
+    )
+    expected = [token_f1(p, g) for p, g in zip(pred, gold)]
+    assert np.allclose(got, expected, atol=1e-12)
+    udf_got = (
+        df.select("rid", f1_udf()(F.col("pred"), F.col("gold")).alias("f1"))
+        .toPandas()
+        .sort_values("rid")["f1"]
+        .tolist()
+    )
+    assert np.allclose(udf_got, expected, atol=1e-12)
+
+
+def test_bleu_properties(spark):
+    assert sentence_bleu("the cat sat on the mat", "the cat sat on the mat") == pytest.approx(1.0)
+    assert sentence_bleu("x y z", "a b c") == 0.0
+    partial = sentence_bleu("the cat sat on a rug", "the cat sat on the mat")
+    assert 0.0 < partial < 1.0
+    df = spark.createDataFrame([(0, "a b c", "a b c")], "rid long, c string, r string")
+    assert df.select(bleu_udf()(F.col("c"), F.col("r"))).first()[0] == pytest.approx(1.0)
+
+
+def test_pipeline_compile_catches_missing_key():
+    pipe = Pipeline(initial_keys=["doc_id"]).refine("lowercase")  # needs 'text'
+    with pytest.raises(KeyError, match="refine:lowercase.*text"):
+        pipe.compile()
+
+
+def test_pipeline_runs_chain(spark):
+    df = spark.createDataFrame(
+        [(0, "  Hello   WORLD  " + "w " * 30), (1, "dup " * 25), (2, "dup " * 25)],
+        "doc_id long, text string",
+    )
+    pipe = (
+        Pipeline(initial_keys=["doc_id", "text"])
+        .refine("remove_extra_spaces")
+        .refine("lowercase")
+        .dedup_exact(["text"], "doc_id")
+        .filter("word_number")
+        .compile()
+    )
+    out = pipe.run(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [0, 1]  # 2 deduped away
+    assert out[0].text.startswith("hello world")
+    assert "step 2: dedup:exact:md5" in pipe.explain()

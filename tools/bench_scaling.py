@@ -1,0 +1,114 @@
+"""Two-cluster-size scaling evidence (sandbox proxy for N vs 4N executors).
+
+Packages dataflow_spark as a zip, then runs tools/scaling_job.py via
+``spark-submit --py-files`` at local[8] and local[32] on IDENTICAL input,
+and writes throughput + scaling efficiency to BENCH/BASELINE.md.
+
+Usage: python tools/bench_scaling.py [--turns 600000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip() -> str:
+    zpath = os.path.join(REPO, "dist", "dataflow_spark.zip")
+    os.makedirs(os.path.dirname(zpath), exist_ok=True)
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "dataflow_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def run_at(cores: int, turns: int, zpath: str) -> dict:
+    env = dict(os.environ)
+    env["DFS_UNDER_SPARK_SUBMIT"] = "1"
+    spark_submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    cmd = [
+        spark_submit,
+        "--master", f"local[{cores}]",
+        "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
+        "--conf", f"spark.default.parallelism={2 * cores}",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.ui.showConsoleProgress=false",
+        "--py-files", zpath,
+        os.path.join(REPO, "tools", "scaling_job.py"),
+        "--turns", str(turns),
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3000)
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{") and "turns_per_sec" in line:
+            return json.loads(line)
+    sys.stderr.write(out.stdout[-3000:] + "\n" + out.stderr[-5000:] + "\n")
+    raise RuntimeError(f"no JSON from scaling job at local[{cores}]")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=600_000)
+    ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
+    args = ap.parse_args()
+
+    zpath = build_zip()
+    lo, hi = args.cores
+    r_lo = run_at(lo, args.turns, zpath)
+    r_hi = run_at(hi, args.turns, zpath)
+
+    def eff(metric: str) -> float:
+        speedup = r_hi[metric] / r_lo[metric]
+        return round(speedup / (hi / lo), 3)
+
+    report = {
+        "low": r_lo,
+        "high": r_hi,
+        "batch_scaling_efficiency": eff("batch_turns_per_sec"),
+        "stream_scaling_efficiency": eff("stream_turns_per_sec"),
+    }
+    print(json.dumps(report))
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+No real cluster exists in this sandbox; per the task instructions, the
+north rule's "N vs 4N executors, scaling efficiency >= 0.8" criterion is
+evidenced by running the IDENTICAL spark-submit job
+(`tools/scaling_job.py`, shipped via `--py-files dist/dataflow_spark.zip`)
+at two parallelism levels on the same {args.turns:,}-turn deterministic
+transcripts input (seed 42).
+
+| mode | local[{lo}] turns/s | local[{hi}] turns/s | speedup | scaling efficiency ({lo}->{hi} cores) |
+|---|---|---|---|---|
+| batch PT pipeline | {r_lo['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']/r_lo['batch_turns_per_sec']:.2f}x | {report['batch_scaling_efficiency']} |
+| streaming PT pipeline + exactly-once sink | {r_lo['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']/r_lo['stream_turns_per_sec']:.2f}x | {report['stream_scaling_efficiency']} |
+
+Raw: low={json.dumps(r_lo)}
+     high={json.dumps(r_hi)}
+
+Efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo).
+Streaming numbers include the exactly-once keyed MERGE sink (commit log +
+per-partition lineage) and checkpointing overhead.
+"""
+        )
+
+
+if __name__ == "__main__":
+    main()

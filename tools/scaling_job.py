@@ -1,0 +1,129 @@
+"""The spark-submit scaling job: identical work at two parallelism levels.
+
+Ships via ``spark-submit --py-files dataflow_spark.zip tools/scaling_job.py
+--turns N`` (see tools/bench_scaling.py, which runs it at local[8] and
+local[32] and computes scaling efficiency → BENCH/BASELINE.md). The job:
+
+1. batch PT pipeline (refine×3 → exact dedup → 8 heuristic filters →
+   quality score) over the deterministic transcripts table;
+2. streaming pipeline: file-source stream of the same table →
+   stateless refine/filter → exactly-once keyed MERGE sink (foreachBatch),
+   availableNow trigger, multi-file source so several micro-batches run.
+
+Prints one JSON line with wall times and turns/sec for both modes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--turns", type=int, default=600_000)
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--data-dir", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.datagen import make_transcripts
+    from dataflow_spark.functions.filters import apply_filters
+    from dataflow_spark.functions.refiners import apply_refiners
+    from dataflow_spark.functions.scorers import quality_score_native
+    from dataflow_spark.operators.dedup import dedup_exact
+    from dataflow_spark.session import get_spark
+    from dataflow_spark.streaming.sink import KeyedMergeSink
+    from dataflow_spark.streaming.source import file_stream
+
+    spark = get_spark("dfs-scaling-job")
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    # deterministic input, written once per (turns, files) signature
+    data_dir = args.data_dir or os.path.join(
+        tempfile.gettempdir(), f"dfs_scaling_{args.turns}_{args.files}"
+    )
+    marker = os.path.join(data_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(data_dir, exist_ok=True)
+        pdf = make_transcripts(args.turns, seed=42)
+        pdf = pdf.assign(ts=pdf.ts.astype("datetime64[us]"))
+        step = len(pdf) // args.files
+        for i in range(args.files):
+            lo = i * step
+            hi = len(pdf) if i == args.files - 1 else (i + 1) * step
+            pdf.iloc[lo:hi].to_parquet(os.path.join(data_dir, f"part{i}.parquet"), index=False)
+        open(marker, "w").write("ok")
+
+    filters = [
+        "content_null", "word_number", "mean_word_length", "alpha_words",
+        "unique_words", "lorem_ipsum", "curly_bracket", "watermark",
+    ]
+    refiners = ["remove_extra_spaces", "remove_emoji", "remove_html_url"]
+
+    # warm-up (JVM/codegen), small slice
+    spark.read.parquet(data_dir).limit(10_000).count()
+
+    # ---- batch mode
+    t0 = time.time()
+    df = spark.read.parquet(data_dir)
+    out = apply_filters(
+        dedup_exact(
+            apply_refiners(df, refiners).withColumn(
+                "__ord", F.struct("conv_id", "turn_idx")
+            ),
+            ["text"], "__ord",
+        ).drop("__ord"),
+        filters,
+    ).withColumn("quality", quality_score_native(F.col("text")))
+    out.write.format("noop").mode("overwrite").save()
+    batch_s = time.time() - t0
+
+    # ---- streaming mode (exactly-once sink)
+    sink_dir = tempfile.mkdtemp(prefix="dfs_scale_sink_")
+    ck = tempfile.mkdtemp(prefix="dfs_scale_ck_")
+    sink = KeyedMergeSink(os.path.join(sink_dir, "table"))
+    t0 = time.time()
+    stream = file_stream(spark, data_dir, max_files_per_trigger=16)
+    sout = apply_filters(apply_refiners(stream, refiners), filters)
+    q = (
+        sout.writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    stream_s = time.time() - t0
+    lineage = sink.lineage()
+    n_sunk = sum(r["rows"] for r in lineage)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "turns": args.turns,
+                "batch_s": round(batch_s, 2),
+                "batch_turns_per_sec": round(args.turns / batch_s, 1),
+                "stream_s": round(stream_s, 2),
+                "stream_turns_per_sec": round(args.turns / stream_s, 1),
+                "stream_rows_sunk": n_sunk,
+                "n_batches": len(lineage),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
