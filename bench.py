@@ -35,8 +35,8 @@ def transcripts_path() -> str:
     from dataflow_spark.datagen import write_transcripts_parquet
 
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         ".bench_cache", f"transcripts_{N_TURNS}")
-    return write_transcripts_parquet(cache, n_turns=N_TURNS, seed=42)
+                         ".bench_cache", f"transcripts_{N_TURNS}_x16")
+    return write_transcripts_parquet(cache, n_turns=N_TURNS, seed=42, n_files=16)
 
 
 def pt_pipeline_transcripts(spark, path: str):
@@ -96,6 +96,39 @@ def main() -> None:
     timings["pt_pipeline_transcripts"] = round(dt, 3)
     turns_per_sec = round(N_TURNS / dt, 1)
 
+    # streaming leg: same refine+filter chain through the exactly-once sink
+    import shutil
+    import tempfile
+
+    from dataflow_spark.functions.filters import apply_filters
+    from dataflow_spark.functions.refiners import apply_refiners
+    from dataflow_spark.streaming.sink import KeyedMergeSink
+    from dataflow_spark.streaming.source import file_stream
+
+    sink_dir = tempfile.mkdtemp(prefix="dfs_bench_sink_")
+    ck = tempfile.mkdtemp(prefix="dfs_bench_ck_")
+    sink = KeyedMergeSink(os.path.join(sink_dir, "table"))
+    t0 = time.time()
+    sq = (
+        apply_filters(
+            apply_refiners(
+                file_stream(spark, tpath),
+                ["remove_extra_spaces", "remove_emoji", "remove_html_url"],
+            ),
+            ["content_null", "word_number", "alpha_words", "unique_words"],
+        )
+        .writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    sdt = time.time() - t0
+    timings["stream_pipeline_transcripts"] = round(sdt, 3)
+    stream_turns_per_sec = round(N_TURNS / sdt, 1)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+
     for name in headline:
         t0 = time.time()
         _force(q[name](spark, SF_DIR))
@@ -112,6 +145,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "turns_per_sec": turns_per_sec,
+                "stream_turns_per_sec": stream_turns_per_sec,
                 "n_turns": N_TURNS,
                 "cores": spark.sparkContext.defaultParallelism,
             }

@@ -169,8 +169,13 @@ def make_transcripts(
     return df
 
 
-def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> str:
-    """Materialize a transcripts parquet dataset at ``path`` (idempotent)."""
+def write_transcripts_parquet(
+    path: str, n_turns: int, seed: int = 42, n_files: int = 1, **kw
+) -> str:
+    """Materialize a transcripts parquet dataset at ``path`` (idempotent).
+
+    ``n_files > 1`` shards the table so file-based streaming sources get
+    multiple micro-batch inputs and scan parallelism isn't file-bound."""
     import os
 
     marker = os.path.join(path, "_DFS_DONE")
@@ -180,7 +185,16 @@ def write_transcripts_parquet(path: str, n_turns: int, seed: int = 42, **kw) -> 
     pdf = make_transcripts(n_turns=n_turns, seed=seed, **kw)
     # Spark cannot read TIMESTAMP(NANOS) parquet — store microseconds.
     pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
-    pdf.to_parquet(os.path.join(path, "transcripts.parquet"), index=False)
+    if n_files <= 1:
+        pdf.to_parquet(os.path.join(path, "transcripts.parquet"), index=False)
+    else:
+        step = len(pdf) // n_files
+        for i in range(n_files):
+            lo = i * step
+            hi = len(pdf) if i == n_files - 1 else (i + 1) * step
+            pdf.iloc[lo:hi].to_parquet(
+                os.path.join(path, f"transcripts_{i:03d}.parquet"), index=False
+            )
     with open(marker, "w") as f:
-        f.write(f"n_turns={len(pdf)} seed={seed}\n")
+        f.write(f"n_turns={len(pdf)} seed={seed} n_files={n_files}\n")
     return path

@@ -306,9 +306,11 @@ def _stop_word(threshold: float = 0.05, min_count: int = 3) -> TextFilter:
     sw = sorted(X.STOPWORDS)
 
     def native(c):
+        from dataflow_spark.functions.sparkutil import is_member, member_map
+
         toks = _toks(c)
-        arr = F.array(*[F.lit(w) for w in sw])
-        hits = F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+        arr = member_map(sw)
+        hits = F.size(F.filter(toks, lambda x: is_member(arr, F.lower(x))))
         m = F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks))
         return m, m.isNotNull() & (m > threshold) & (hits >= min_count)
 
@@ -476,9 +478,11 @@ def _blocklist(threshold: int = 1) -> TextFilter:
     words = sorted(X.BLOCKLIST_WORDS)
 
     def native(c):
+        from dataflow_spark.functions.sparkutil import is_member, member_map
+
         toks = _toks(c)
-        arr = F.array(*[F.lit(w) for w in words])
-        m = F.size(F.filter(toks, lambda x: F.array_contains(arr, F.lower(x))))
+        arr = member_map(words)
+        m = F.size(F.filter(toks, lambda x: is_member(arr, F.lower(x))))
         return m, m <= threshold
 
     def kernel(s):

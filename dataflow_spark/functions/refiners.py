@@ -172,10 +172,12 @@ def _k_remove_stopwords(s: pd.Series) -> pd.Series:
 
 
 def _n_remove_stopwords(c: Column) -> Column:
-    sw = F.array(*[F.lit(w) for w in sorted(X.STOPWORDS)])
+    from dataflow_spark.functions.sparkutil import is_member, member_map
+
+    sw = member_map(X.STOPWORDS)
     toks = F.filter(
         F.split(F.trim(c), r"\s+"),
-        lambda x: (x != "") & ~F.array_contains(sw, F.lower(x)),
+        lambda x: (x != "") & ~is_member(sw, F.lower(x)),
     )
     return F.when(c.isNull(), F.lit(None)).otherwise(F.array_join(toks, " "))
 

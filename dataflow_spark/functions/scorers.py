@@ -148,10 +148,12 @@ def lang_id_native(c: Column) -> Column:
         F.lower,
     )
     def _hit_count(lang: str) -> Column:
-        arr = F.array(*[F.lit(w) for w in sorted(X.LANG_STOPWORDS[lang])])
+        from dataflow_spark.functions.sparkutil import is_member, member_map
+
+        arr = member_map(X.LANG_STOPWORDS[lang])
         # NB: the lambda must take exactly one arg — Spark treats two-arg
         # lambdas in higher-order functions as (element, index).
-        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+        return F.size(F.filter(toks, lambda x: is_member(arr, x)))
 
     hits = {lang: _hit_count(lang) for lang in ("en", "de", "fr", "es")}
     c_en, c_de, c_fr, c_es = hits["en"], hits["de"], hits["fr"], hits["es"]
@@ -209,8 +211,10 @@ def quality_score_native(c: Column) -> Column:
     """
     toks = F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"), lambda x: x != "")
     n = F.size(toks)
-    sw = F.array(*[F.lit(w) for w in sorted(X.STOPWORDS)])
-    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(sw, F.lower(x))))
+    from dataflow_spark.functions.sparkutil import is_member, member_map
+
+    sw = member_map(X.STOPWORDS)
+    stop_hits = F.size(F.filter(toks, lambda x: is_member(sw, F.lower(x))))
     caps = F.size(F.filter(toks, lambda x: (x == F.upper(x)) & x.rlike("[A-Za-z]")))
     cc = F.coalesce(c, F.lit(""))
     sym = (

@@ -51,6 +51,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # text pipelines are CPU-bound per byte: the 64m advisory size
+        # would coalesce post-shuffle stages to ~1 task on local corpora
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         # Arrow on every pandas_udf / toPandas hop — the engine mandate is
         # "vectorized pandas/Arrow UDFs, no per-row Python".
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
