@@ -986,6 +986,231 @@ _EXTRA_ORACLES = {
 }
 
 
+# -------------------------------------------- stats / thin filters / generators
+
+def _q_text_stats(spark, sf):
+    from dataflow_spark.functions.stats import text_stats_struct
+
+    docs = _t(spark, sf, "documents")
+    s = text_stats_struct(F.col("text"))
+    return docs.select(
+        "doc_id",
+        s["n_chars"].alias("n_chars_m"),
+        s["n_words"].alias("n_words"),
+        s["n_sentences"].alias("n_sentences"),
+        s["avg_word_len"].alias("avg_word_len"),
+        s["avg_sentence_len"].alias("avg_sentence_len"),
+        s["flesch_reading_ease"].alias("flesch_reading_ease"),
+    )
+
+
+def _q_language_filter(spark, sf):
+    """LanguageFilter (filter/language_filter.py:61-65) shape: keep rows
+    whose predicted language is in the allowed set."""
+    docs = _t(spark, sf, "documents")
+    pred = S.lang_id_native(F.col("text"))
+    return docs.select("doc_id", pred.alias("lang_pred")).filter(
+        F.col("lang_pred").isin("en", "de")
+    )
+
+
+def _q_quality_filter(spark, sf):
+    """Model-quality-filter shape (DeitaQualityFilter et al., SURVEY §2.2)
+    with the deterministic quality score."""
+    docs = _t(spark, sf, "documents")
+    q = F.round(S.quality_score_native(F.col("text")), 9)
+    return docs.select("doc_id", q.alias("quality")).filter(F.col("quality") >= 0.5)
+
+
+def _q_ngram_filter(spark, sf):
+    """NgramFilter (filter/ngram_filter.py:8-52): keep repetition score in
+    range."""
+    docs = _t(spark, sf, "documents")
+    s = F.round(S.ngram_score_native(F.col("text")), 9)
+    return docs.select("doc_id", s.alias("ngram_score")).filter(
+        (F.col("ngram_score") >= 0.6) & (F.col("ngram_score") <= 1.0)
+    )
+
+
+def _q_answer_formatter(spark, sf):
+    """AnswerFormatterFilter (reasoning/filter/answer_formatter_filter.py:10):
+    keep rows whose text matches the required format regex."""
+    docs = _t(spark, sf, "documents")
+    return docs.select("doc_id").filter(F.col("text").rlike(r"\btable\b"))
+
+
+def _q_prompted_template(spark, sf):
+    from dataflow_spark.operators.generate import prompted_template
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    out = prompted_template(docs, "Summarize [{lang}]: {text}")
+    return out.select("doc_id", "generated")
+
+
+def _q_pretrain_format(spark, sf):
+    from dataflow_spark.operators.generate import pretrain_format_converter
+
+    docs = _t(spark, sf, "documents")
+    return pretrain_format_converter(docs)
+
+
+def _q_vendi(spark, sf):
+    from dataflow_spark.operators.generate import vendi_score
+
+    emb = _t(spark, sf, "embeddings")
+    v = vendi_score(emb, "embedding")
+    return spark.createDataFrame([(round(v, 6),)], "vendi_score double")
+
+
+_STATS_ORACLES = {
+    "text_stats": f"""
+        WITH m AS (
+          SELECT doc_id, coalesce(text,'') AS t, len({_TOKS}) AS n_words
+          FROM documents),
+        h AS (
+          SELECT doc_id, n_words,
+                 length(t) AS n_chars_m,
+                 greatest(len(regexp_extract_all(t, '\\b[^.!?\\n]+[.!?]*')), 1) AS n_sent,
+                 length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS letters,
+                 greatest(len(regexp_extract_all(lower(t), '[aeiouy]+')), n_words) AS syllables
+          FROM m)
+        SELECT doc_id,
+               CAST(n_chars_m AS BIGINT) AS n_chars_m,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sent AS BIGINT) AS n_sentences,
+               round(CASE WHEN n_words > 0 THEN letters / CAST(n_words AS DOUBLE) ELSE 0.0 END, 9) AS avg_word_len,
+               round(CAST(n_words AS DOUBLE) / n_sent, 9) AS avg_sentence_len,
+               round(CASE WHEN n_words > 0 THEN
+                     206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                             - 84.6 * (CAST(syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+                     ELSE 206.835 END, 9) AS flesch_reading_ease
+        FROM h""",
+    "language_filter": f"""
+        WITH m AS (
+          SELECT doc_id, list_transform({_TOKS}, x -> lower(x)) AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('en')}, x))) AS c_en,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('de')}, x))) AS c_de,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('fr')}, x))) AS c_fr,
+                 len(list_filter(toks, x -> list_contains({_sql_lang_arr('es')}, x))) AS c_es
+          FROM m),
+        p AS (
+          SELECT doc_id,
+                 CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                      WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                      WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+                      WHEN c_es > 0 THEN 'es'
+                      ELSE 'unknown' END AS lang_pred
+          FROM h)
+        SELECT doc_id, lang_pred FROM p WHERE lang_pred IN ('en', 'de')""",
+    "ngram_filter": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(
+                    translate(lower(coalesce(text,'')), '{_PUNCT_SQL}', ''), '\\s+'),
+                    x -> x <> '') AS toks
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 round(CASE WHEN len(toks) < 5 THEN 1.0
+                       ELSE len(list_distinct(list_transform(range(1, len(toks) - 3),
+                            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))) * 1.0
+                            / (len(toks) - 4) END, 9) AS ngram_score
+          FROM m)
+        SELECT doc_id, ngram_score FROM s WHERE ngram_score >= 0.6 AND ngram_score <= 1.0""",
+    "answer_formatter": """
+        SELECT doc_id FROM documents WHERE regexp_matches(text, '\\btable\\b')""",
+    "prompted_template": """
+        SELECT doc_id, 'Summarize [' || lang || ']: ' || text AS generated
+        FROM documents""",
+    "pretrain_format": """
+        SELECT doc_id AS id, text AS content,
+               CAST(length(coalesce(text,'')) AS BIGINT) AS content_len,
+               'pretrain' AS format
+        FROM documents""",
+}
+
+def _q_extract_questions(spark, sf):
+    """MathBookQuestionExtract shape (knowledge_cleaning/generate/
+    mathbook_question_extract.py:23): regex-extract question sentences,
+    one row per question (UDTF shape)."""
+    docs = _t(spark, sf, "documents")
+    qs = F.regexp_extract_all(
+        F.coalesce("text", F.lit("")), F.lit(r"\b[^.!?\n]*\?"), F.lit(0)
+    )
+    out = docs.select("doc_id", F.posexplode(qs).alias("q_idx", "question"))
+    return out
+
+
+def _q_answer_groundtruth(spark, sf):
+    """AnswerGroundTruthFilter (reasoning/filter/answer_ground_truth_filter.py:11):
+    keep rows whose normalized answer contains the normalized ground truth.
+    Pairs: answer = doc text, gt = first 5 tokens of the next doc."""
+    a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("answer"))
+    b = _t(spark, sf, "documents").select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                F.filter(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+                         lambda x: x != ""),
+                1, 5,
+            ),
+            " ",
+        ).alias("gt"),
+    )
+    pairs = a.join(b, "doc_id")
+    norm = lambda c: F.lower(F.trim(c))  # noqa: E731
+    return pairs.filter(F.contains(norm(F.col("answer")), norm(F.col("gt")))).select(
+        "doc_id", "gt"
+    )
+
+
+def _q_difficulty_classify(spark, sf):
+    """QuestionDifficultyClassifier stand-in (reasoning/generate/
+    question_difficulty_classifier.py:12): deterministic token-count
+    bucketing instead of the LLM judgment."""
+    docs = _t(spark, sf, "documents")
+    n = F.size(
+        F.filter(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"), lambda x: x != "")
+    )
+    label = (
+        F.when(n < 30, "easy").when(n < 70, "medium").otherwise("hard")
+    )
+    return docs.select("doc_id", n.cast("long").alias("n_tokens"), label.alias("difficulty"))
+
+
+_STATS_ORACLES["extract_questions"] = """
+    SELECT doc_id, CAST(i - 1 AS INT) AS q_idx, q AS question
+    FROM (
+      SELECT doc_id,
+             unnest(regexp_extract_all(coalesce(text,''), '\\b[^.!?\\n]*\\?')) AS q,
+             generate_subscripts(regexp_extract_all(coalesce(text,''), '\\b[^.!?\\n]*\\?'), 1) AS i
+      FROM documents)"""
+
+_STATS_ORACLES["answer_groundtruth_filter"] = f"""
+    WITH b AS (
+      SELECT doc_id - 1 AS doc_id,
+             array_to_string(list_slice({_TOKS}, 1, 5), ' ') AS gt
+      FROM documents),
+    pairs AS (
+      SELECT a.doc_id, a.text AS answer, b.gt
+      FROM documents a JOIN b USING (doc_id))
+    SELECT doc_id, gt FROM pairs
+    WHERE contains(lower(trim(answer)), lower(trim(gt)))"""
+
+_STATS_ORACLES["difficulty_classify"] = f"""
+    WITH m AS (SELECT doc_id, len({_TOKS}) AS n FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CASE WHEN n < 30 THEN 'easy' WHEN n < 70 THEN 'medium' ELSE 'hard' END AS difficulty
+    FROM m"""
+
+# quality_filter = score_quality oracle + range predicate
+_STATS_ORACLES["quality_filter"] = (
+    "SELECT doc_id, quality FROM (" + _SCORER_ORACLES["score_quality"] + ") WHERE quality >= 0.5"
+)
+
+
 # --------------------------------------------------------------- multimodal
 
 def _q_multimodal_features(spark, sf):
@@ -1042,6 +1267,17 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "answer_ngram_filter": _q_answer_ngram_filter,
             "consistent_chat_gen": _q_consistent_chat_gen,
             "pipeline_pt_chain": _q_pipeline_pt_chain,
+            "text_stats": _q_text_stats,
+            "language_filter": _q_language_filter,
+            "quality_filter": _q_quality_filter,
+            "ngram_filter": _q_ngram_filter,
+            "answer_formatter": _q_answer_formatter,
+            "prompted_template": _q_prompted_template,
+            "pretrain_format": _q_pretrain_format,
+            "vendi_score": _q_vendi,
+            "extract_questions": _q_extract_questions,
+            "answer_groundtruth_filter": _q_answer_groundtruth,
+            "difficulty_classify": _q_difficulty_classify,
         }
     )
     return q
@@ -1074,6 +1310,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_ANN_ORACLES)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
+    o.update(_STATS_ORACLES)
     # no oracle (driver rows-only check): dedup_minhash_lsh, dedup_simhash,
     # dedup_ngram_chunks, dedup_embedding_cosine (order-dependent first-wins
     # is not SQL-expressible), score_lexical_diversity (iterative MTLD/HDD),

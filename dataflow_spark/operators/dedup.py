@@ -95,17 +95,21 @@ def connected_components(
         .select(F.col("src").alias("id"), F.least("src", "mind").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    def one_round(cur):
         nbr = (
-            sym.join(lab.withColumnRenamed("id", "dst2"), sym.dst == F.col("dst2"))
+            sym.join(cur.withColumnRenamed("id", "dst2"), sym.dst == F.col("dst2"))
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_lab = (
-            lab.join(nbr, lab.id == nbr.src, "left")
-            .select(lab.id, F.least(lab.comp, F.coalesce("nbr_comp", lab.comp)).alias("comp"))
-            .localCheckpoint()
+        return cur.join(nbr, cur.id == nbr.src, "left").select(
+            cur.id, F.least(cur.comp, F.coalesce("nbr_comp", cur.comp)).alias("comp")
         )
+
+    # two propagation rounds per convergence check: near-dup components are
+    # shallow (usually diameter <= 2), so this halves the count-jobs without
+    # extra rounds in the common case
+    for _ in range(max_iter // 2):
+        new_lab = one_round(one_round(lab)).localCheckpoint()
         changed = (
             new_lab.alias("n")
             .join(lab.alias("o"), "id")

