@@ -48,6 +48,13 @@ def _toks(c: Column) -> Column:
     return F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"), lambda x: x != "")
 
 
+def _n_toks(c: Column) -> Column:
+    # token COUNT without materializing the array: maximal non-whitespace
+    # runs == Python str.split() token count; regexp_count stays inside
+    # whole-stage codegen (higher-order functions do not)
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"\S+"))
+
+
 def _nonnull(c: Column) -> Column:
     # Python `text.strip() != ''` parity: Spark trim() only strips 0x20,
     # so test for any non-whitespace char instead.
@@ -72,7 +79,7 @@ def _colon_end() -> TextFilter:
 
 def _word_number(lo: int = 20, hi: int = 100_000) -> TextFilter:
     def native(c):
-        m = F.size(_toks(c))
+        m = _n_toks(c)
         return m, (m >= lo) & (m < hi)
 
     def kernel(s):
@@ -127,7 +134,7 @@ def _sentence_number(lo: int = 1, hi: int = 7500) -> TextFilter:
 def _mean_word_length(lo: float = 3.0, hi: float = 10.0) -> TextFilter:
     def native(c):
         chars = F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s", ""))
-        words = F.size(_toks(c))
+        words = _n_toks(c)
         m = F.when(words > 0, chars.cast("double") / words)
         return m, m.isNotNull() & (m >= lo) & (m < hi)
 
@@ -193,7 +200,7 @@ def _symbol_word_ratio(threshold: float = 0.4) -> TextFilter:
             + F.regexp_count(cc, F.lit(r"\.\.\."))
             + F.regexp_count(cc, F.lit("…"))
         )
-        words = F.size(_toks(c))
+        words = _n_toks(c)
         m = F.when(words > 0, sym.cast("double") / words)
         return m, m.isNotNull() & (m < threshold)
 

@@ -189,7 +189,7 @@ def token_count_exprs(c: Column) -> dict[str, Column]:
     stand-in for the reference's tokenizer-based ToKenInfo
     (reasoning/eval/token_info.py:9)."""
     cc = F.coalesce(c, F.lit(""))
-    toks = F.size(F.filter(F.split(F.trim(cc), r"\s+"), lambda x: x != ""))
+    toks = F.regexp_count(cc, F.lit(r"\S+"))  # == whitespace token count, codegen-able
     chars = F.length(cc)
     return {
         "n_tokens_ws": toks,

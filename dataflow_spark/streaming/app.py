@@ -1,0 +1,105 @@
+"""The composed streaming application — the engine's north-star job.
+
+One transcripts stream drives three concurrent Structured Streaming
+queries (shared source directory, independent checkpoints):
+
+1. **clean**   — stateless refine + quality-filter chain → exactly-once
+   keyed MERGE sink on (conv_id, turn_idx);
+2. **assembly** — session-window conversation assembly
+   (applyInPandasWithState) → exactly-once sink on (conv_id, session_start);
+3. **pairs**   — stream-stream user↔response join → exactly-once sink on
+   (conv_id, user_turn_idx, resp_turn_idx).
+
+A JsonlMetricsListener records per-batch progress; each sink records
+per-batch per-partition lineage. Everything restarts from checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from dataflow_spark.functions.filters import apply_filters
+from dataflow_spark.functions.refiners import apply_refiners
+from dataflow_spark.streaming.assembly import assemble_conversations
+from dataflow_spark.streaming.join import join_user_responses
+from dataflow_spark.streaming.metrics import JsonlMetricsListener
+from dataflow_spark.streaming.sink import KeyedMergeSink
+from dataflow_spark.streaming.source import file_stream
+
+DEFAULT_REFINERS = ["remove_extra_spaces", "remove_emoji", "remove_html_url"]
+DEFAULT_FILTERS = ["content_null", "word_number", "alpha_words", "unique_words"]
+
+
+@dataclass
+class TranscriptsApp:
+    src_dir: str
+    out_dir: str
+    refiners: list[str] = field(default_factory=lambda: list(DEFAULT_REFINERS))
+    filters: list[str] = field(default_factory=lambda: list(DEFAULT_FILTERS))
+    gap_seconds: int = 600
+    watermark: str = "2 minutes"
+    max_files_per_trigger: int | None = 4
+
+    def __post_init__(self):
+        self.clean_sink = KeyedMergeSink(
+            os.path.join(self.out_dir, "clean"), keys=("conv_id", "turn_idx")
+        )
+        self.assembly_sink = KeyedMergeSink(
+            os.path.join(self.out_dir, "conversations"), keys=("conv_id", "session_start")
+        )
+        self.pairs_sink = KeyedMergeSink(
+            os.path.join(self.out_dir, "pairs"),
+            keys=("conv_id", "user_turn_idx", "resp_turn_idx"),
+        )
+
+    def start(self, spark: SparkSession, available_now: bool = True):
+        listener = JsonlMetricsListener(os.path.join(self.out_dir, "metrics.jsonl"))
+        spark.streams.addListener(listener)
+
+        def stream():
+            return file_stream(spark, self.src_dir, self.max_files_per_trigger)
+
+        trigger = {"availableNow": True} if available_now else {"processingTime": "10 seconds"}
+
+        cleaned = apply_filters(apply_refiners(stream(), self.refiners), self.filters)
+        q1 = (
+            cleaned.writeStream.queryName("clean")
+            .foreachBatch(self.clean_sink.foreach_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "ck_clean"))
+            .trigger(**trigger)
+            .start()
+        )
+        assembled = assemble_conversations(
+            apply_refiners(stream(), self.refiners),
+            gap_seconds=self.gap_seconds,
+            watermark=self.watermark,
+        )
+        q2 = (
+            assembled.writeStream.queryName("assembly")
+            .foreachBatch(self.assembly_sink.foreach_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "ck_assembly"))
+            .trigger(**trigger)
+            .start()
+        )
+        paired = join_user_responses(stream(), max_response_seconds=300)
+        q3 = (
+            paired.writeStream.queryName("pairs")
+            .foreachBatch(self.pairs_sink.foreach_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "ck_pairs"))
+            .trigger(**trigger)
+            .start()
+        )
+        return [q1, q2, q3]
+
+    def run_to_completion(self, spark: SparkSession, timeout: int = 600):
+        queries = self.start(spark, available_now=True)
+        for q in queries:
+            q.awaitTermination(timeout)
+        return {
+            "clean_rows": sum(r["rows"] for r in self.clean_sink.lineage()),
+            "conversations": sum(r["rows"] for r in self.assembly_sink.lineage()),
+            "pairs": sum(r["rows"] for r in self.pairs_sink.lineage()),
+        }

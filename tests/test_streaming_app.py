@@ -1,0 +1,37 @@
+"""The composed streaming app: three concurrent queries, shared source,
+metrics listener, exactly-once sinks — end-to-end."""
+
+import json
+import os
+
+from dataflow_spark.datagen import write_transcripts_parquet
+from dataflow_spark.streaming.app import TranscriptsApp
+
+
+def test_transcripts_app_end_to_end(spark, tmp_path):
+    src = write_transcripts_parquet(str(tmp_path / "src"), n_turns=4000, seed=31, n_files=4)
+    app = TranscriptsApp(src_dir=src, out_dir=str(tmp_path / "out"))
+    counts = app.run_to_completion(spark)
+    assert counts["clean_rows"] > 0
+    assert counts["conversations"] > 0
+    assert counts["pairs"] > 0
+
+    # sinks are key-unique merged tables
+    clean = app.clean_sink.read_table(spark)
+    assert clean.count() == counts["clean_rows"]
+    conv = app.assembly_sink.read_table(spark).toPandas()
+    assert conv.duplicated(["conv_id", "session_start"]).sum() == 0
+    assert (conv.n_turns > 0).all()
+
+    # metrics listener captured per-batch progress for all three queries
+    mpath = os.path.join(str(tmp_path / "out"), "metrics.jsonl")
+    with open(mpath) as f:
+        recs = [json.loads(x) for x in f if x.strip()]
+    progress = [r for r in recs if r["event"] == "progress"]
+    assert len(progress) >= 3
+    assert any(r["num_input_rows"] > 0 for r in progress)
+
+    # per-partition lineage in every sink
+    for sink in (app.clean_sink, app.assembly_sink, app.pairs_sink):
+        lin = sink.lineage()
+        assert lin and all("partition_rows" in r for r in lin)

@@ -37,7 +37,7 @@ def main() -> None:
         df = q[name](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         checks = {
-            "whole-stage codegen": "WholeStageCodegen" in plan,
+            "whole-stage codegen": "*(" in plan,
             "broadcast join used": "BroadcastHashJoin" in plan or "Broadcast" in plan,
             "python on hot path": "BatchEvalPython" in plan,
         }
