@@ -114,7 +114,9 @@ def _k_collapse_repeated_punct(s: pd.Series) -> pd.Series:
 
 
 def _n_collapse_repeated_punct(c: Column) -> Column:
-    return F.regexp_replace(c, r"([^\w\s_])\1+", "$1")
+    # (?U): Java \w is ASCII-only by default; Python \w is unicode-aware —
+    # without the flag, doubled CJK chars would be wrongly collapsed
+    return F.regexp_replace(c, r"(?U)([^\w\s_])\1+", "$1")
 
 
 _IMG_MD = r"!\[[^\]]*\]\([^)]*\)"

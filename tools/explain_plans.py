@@ -35,11 +35,13 @@ def main() -> None:
     print("# Physical plans (judge artifact)\n")
     for name in HEADLINE:
         df = q[name](spark, sf_dir)
+        df.collect()  # execute THIS QueryExecution so AQE finalizes in place
         plan = df._jdf.queryExecution().executedPlan().toString()
         checks = {
-            "whole-stage codegen": "*(" in plan,
+            "whole-stage codegen": "*(" in plan or "codegen id" in plan,
             "broadcast join used": "BroadcastHashJoin" in plan or "Broadcast" in plan,
             "python on hot path": "BatchEvalPython" in plan,
+            "aqe final plan": "isFinalPlan=true" in plan or "AdaptiveSparkPlan" not in plan,
         }
         explained = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
