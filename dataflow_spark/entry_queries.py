@@ -1131,14 +1131,37 @@ _STATS_ORACLES = {
         FROM documents""",
 }
 
+def _q_sft_from_seed(spark, sf):
+    """SFTGeneratorSeed shape (general_text/generate/sft_generator_from_seed.py:27,66):
+    seed document → (instruction, output) SFT record. Deterministic stand-in:
+    instruction = templated first 8 tokens, output = remainder. The LLM
+    seam is the two column expressions."""
+    docs = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"), lambda x: x != ""
+    )
+    head = F.array_join(F.slice(toks, 1, 8), " ")
+    tail = F.array_join(F.slice(toks, 9, 1_000_000), " ")
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit("Continue the passage: "), head).alias("instruction"),
+        tail.alias("output"),
+    ).filter(F.col("output") != "")
+
+
 def _q_extract_questions(spark, sf):
     """MathBookQuestionExtract shape (knowledge_cleaning/generate/
     mathbook_question_extract.py:23): regex-extract question sentences,
     one row per question (UDTF shape)."""
     docs = _t(spark, sf, "documents")
-    qs = F.regexp_extract_all(
-        F.coalesce("text", F.lit("")), F.lit(r"\b[^.!?\n]*\?"), F.lit(0)
-    )
+    # the synthetic corpus has no '?' — shape a question-bearing text
+    # deterministically (every 3rd doc gets an interrogative clause)
+    shaped = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.coalesce("text", F.lit("")), F.lit(". what does doc "),
+                 F.col("doc_id").cast("string"), F.lit(" say? and why?")),
+    ).otherwise(F.coalesce("text", F.lit("")))
+    qs = F.regexp_extract_all(shaped, F.lit(r"\b[^.!?\n]*\?"), F.lit(0))
     out = docs.select("doc_id", F.posexplode(qs).alias("q_idx", "question"))
     return out
 
@@ -1147,19 +1170,22 @@ def _q_answer_groundtruth(spark, sf):
     """AnswerGroundTruthFilter (reasoning/filter/answer_ground_truth_filter.py:11):
     keep rows whose normalized answer contains the normalized ground truth.
     Pairs: answer = doc text, gt = first 5 tokens of the next doc."""
-    a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("answer"))
-    b = _t(spark, sf, "documents").select(
-        (F.col("doc_id") - 1).alias("doc_id"),
-        F.array_join(
-            F.slice(
-                F.filter(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
-                         lambda x: x != ""),
-                1, 5,
-            ),
-            " ",
-        ).alias("gt"),
+    # gt comes from the SAME doc (match) for even ids and from the NEXT doc
+    # (usually no match) for odd ids — both filter outcomes exercised
+    docs = _t(spark, sf, "documents")
+    head5 = F.array_join(
+        F.slice(
+            F.filter(F.split(F.trim(F.coalesce("text", F.lit(""))), r"\s+"),
+                     lambda x: x != ""),
+            1, 5,
+        ),
+        " ",
     )
-    pairs = a.join(b, "doc_id")
+    a = docs.select("doc_id", F.col("text").alias("answer"), head5.alias("own_gt"))
+    b = docs.select((F.col("doc_id") - 1).alias("doc_id"), head5.alias("next_gt"))
+    pairs = a.join(b, "doc_id").withColumn(
+        "gt", F.when(F.col("doc_id") % 2 == 0, F.col("own_gt")).otherwise(F.col("next_gt"))
+    )
     norm = lambda c: F.lower(F.trim(c))  # noqa: E731
     return pairs.filter(F.contains(norm(F.col("answer")), norm(F.col("gt")))).select(
         "doc_id", "gt"
@@ -1180,22 +1206,36 @@ def _q_difficulty_classify(spark, sf):
     return docs.select("doc_id", n.cast("long").alias("n_tokens"), label.alias("difficulty"))
 
 
+_STATS_ORACLES["sft_from_seed"] = f"""
+    WITH m AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           'Continue the passage: ' || array_to_string(list_slice(toks, 1, 8), ' ') AS instruction,
+           array_to_string(list_slice(toks, 9, len(toks)), ' ') AS output
+    FROM m WHERE array_to_string(list_slice(toks, 9, len(toks)), ' ') <> ''"""
+
 _STATS_ORACLES["extract_questions"] = """
+    WITH shaped AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN coalesce(text,'') || '. what does doc ' || CAST(doc_id AS VARCHAR) || ' say? and why?'
+                  ELSE coalesce(text,'') END AS t
+      FROM documents)
     SELECT doc_id, CAST(i - 1 AS INT) AS q_idx, q AS question
     FROM (
       SELECT doc_id,
-             unnest(regexp_extract_all(coalesce(text,''), '\\b[^.!?\\n]*\\?')) AS q,
-             generate_subscripts(regexp_extract_all(coalesce(text,''), '\\b[^.!?\\n]*\\?'), 1) AS i
-      FROM documents)"""
+             unnest(regexp_extract_all(t, '\\b[^.!?\\n]*\\?')) AS q,
+             generate_subscripts(regexp_extract_all(t, '\\b[^.!?\\n]*\\?'), 1) AS i
+      FROM shaped)"""
 
 _STATS_ORACLES["answer_groundtruth_filter"] = f"""
-    WITH b AS (
-      SELECT doc_id - 1 AS doc_id,
-             array_to_string(list_slice({_TOKS}, 1, 5), ' ') AS gt
+    WITH h AS (
+      SELECT doc_id, text,
+             array_to_string(list_slice({_TOKS}, 1, 5), ' ') AS head5
       FROM documents),
     pairs AS (
-      SELECT a.doc_id, a.text AS answer, b.gt
-      FROM documents a JOIN b USING (doc_id))
+      SELECT a.doc_id, a.text AS answer,
+             CASE WHEN a.doc_id % 2 = 0 THEN a.head5 ELSE b.head5 END AS gt
+      FROM h a JOIN h b ON b.doc_id = a.doc_id + 1)
     SELECT doc_id, gt FROM pairs
     WHERE contains(lower(trim(answer)), lower(trim(gt)))"""
 
@@ -1278,6 +1318,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "extract_questions": _q_extract_questions,
             "answer_groundtruth_filter": _q_answer_groundtruth,
             "difficulty_classify": _q_difficulty_classify,
+            "sft_from_seed": _q_sft_from_seed,
         }
     )
     return q
