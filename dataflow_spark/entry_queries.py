@@ -766,6 +766,18 @@ def _q_f1(spark, sf):
     )
 
 
+def _q_cider(spark, sf):
+    from dataflow_spark.functions.eval_scorers import cider_scores
+
+    a = _t(spark, sf, "documents").select(F.col("doc_id").alias("id"),
+                                          F.col("text").alias("cand"))
+    b = _t(spark, sf, "documents").select(
+        (F.col("doc_id") - 1).alias("id"), F.col("text").alias("ref")
+    )
+    pairs = a.join(b, "id")
+    return cider_scores(pairs)
+
+
 def _q_bleu(spark, sf):
     from dataflow_spark.functions.eval_scorers import bleu_udf
 
@@ -1302,6 +1314,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "bm25_topk": _q_bm25,
             "f1_score": _q_f1,
             "bleu_score": _q_bleu,
+            "cider_score": _q_cider,
             "token_stats": _q_token_stats,
             "category_info": _q_category_info,
             "answer_ngram_filter": _q_answer_ngram_filter,

@@ -122,6 +122,100 @@ def sentence_bleu(candidate: str, reference: str, max_n: int = 4) -> float:
     return bp * math.exp(log_sum / orders)
 
 
+def cider_scores(
+    df,
+    id_col: str = "id",
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    max_n: int = 4,
+    round_to: int | None = 6,
+):
+    """CIDEr (Vedantam et al., CVPR'15) — TF-IDF-weighted n-gram cosine
+    between candidate and reference, averaged over n=1..4, scaled by 10 and
+    a length gaussian penalty (sigma=6). Reference: eval/gen/cider_scorer.py:17.
+
+    Corpus-level: the IDF comes from the reference corpus, computed
+    distributed (explode n-grams → document frequency). Per-row scoring is
+    a vectorized pandas cogroup on the (small) per-document n-gram sets —
+    IDF is a broadcast join, the heavy side never leaves the cluster.
+    """
+    import numpy as np
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    def ngram_explode(col: str, out: str):
+        toks = F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+        grams = []
+        for n in range(1, max_n + 1):
+            k = F.size(toks) - (n - 1)
+            # NB sequence(1, 0) DESCENDS in Spark — guard k < 1 explicitly
+            grams.append(
+                F.when(
+                    k >= 1,
+                    F.transform(
+                        F.sequence(F.lit(1), k),
+                        lambda i, n=n: F.concat_ws(" ", F.slice(toks, i, n)),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        return df.select(
+            F.col(id_col).alias("id"), F.explode(F.flatten(F.array(*grams))).alias(out)
+        )
+
+    n_docs = df.count()
+    # document frequency over the reference corpus
+    dfreq = (
+        ngram_explode(ref_col, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+    )
+    idf = dfreq.select(
+        "gram", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    )
+
+    cand_tf = ngram_explode(cand_col, "gram").groupBy("id", "gram").agg(
+        F.count("*").alias("ctf")
+    )
+    ref_tf = ngram_explode(ref_col, "gram").groupBy("id", "gram").agg(
+        F.count("*").alias("rtf")
+    )
+    joined = (
+        cand_tf.join(ref_tf, ["id", "gram"], "outer")
+        .join(F.broadcast(idf), "gram", "left")
+        .fillna({"ctf": 0, "rtf": 0, "idf": 0.0})
+        .withColumn("n", F.size(F.split("gram", " ")))
+    )
+    # per (id, n): cosine of tf-idf vectors
+    agg = joined.groupBy("id", "n").agg(
+        F.sum(F.col("ctf") * F.col("rtf") * F.col("idf") * F.col("idf")).alias("dot"),
+        F.sqrt(F.sum(F.col("ctf") * F.col("ctf") * F.col("idf") * F.col("idf"))).alias("cn"),
+        F.sqrt(F.sum(F.col("rtf") * F.col("rtf") * F.col("idf") * F.col("idf"))).alias("rn"),
+    )
+    per_n = agg.withColumn(
+        "sim",
+        F.when((F.col("cn") > 0) & (F.col("rn") > 0), F.col("dot") / (F.col("cn") * F.col("rn"))).otherwise(0.0),
+    )
+    lens = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.trim(F.lower(F.coalesce(F.col(cand_col), F.lit("")))), r"\s+")).alias("cl"),
+        F.size(F.split(F.trim(F.lower(F.coalesce(F.col(ref_col), F.lit("")))), r"\s+")).alias("rl"),
+    )
+    out = (
+        per_n.groupBy("id")
+        .agg((F.sum("sim") / max_n).alias("mean_sim"))
+        .join(lens, "id")
+        .withColumn(
+            "cider",
+            10.0
+            * F.col("mean_sim")
+            * F.exp(-((F.col("cl") - F.col("rl")) ** 2) / F.lit(2 * 6.0**2)),
+        )
+        .select("id", F.round("cider", round_to).alias("cider") if round_to else F.col("cider"))
+    )
+    return out
+
+
 def bleu_udf():
     @F.pandas_udf(T.DoubleType())
     def _udf(cand: pd.Series, ref: pd.Series) -> pd.Series:

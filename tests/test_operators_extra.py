@@ -105,6 +105,21 @@ def test_bleu_properties(spark):
     assert df.select(bleu_udf()(F.col("c"), F.col("r"))).first()[0] == pytest.approx(1.0)
 
 
+def test_cider_ordering(spark):
+    from dataflow_spark.functions.eval_scorers import cider_scores
+
+    rows = [
+        (0, "the cat sat on the mat", "the cat sat on the mat"),
+        (1, "a dog ran in the park", "the cat sat on the mat quietly"),
+        (2, "spark streams process data", "spark streams process data fast"),
+        (3, "unrelated words here", "totally different reference text"),
+    ]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    out = {r.id: r.cider for r in cider_scores(df).collect()}
+    assert out[0] > out[2] > out[3]
+    assert out[1] < out[0]
+
+
 def test_pipeline_compile_catches_missing_key():
     pipe = Pipeline(initial_keys=["doc_id"]).refine("lowercase")  # needs 'text'
     with pytest.raises(KeyError, match="refine:lowercase.*text"):
