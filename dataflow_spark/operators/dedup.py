@@ -167,20 +167,42 @@ def first_wins_keep_ids(nodes_with_edges: DataFrame, edges: DataFrame) -> DataFr
     )
 
 
-def apply_first_wins(df: DataFrame, id_col: str, edges: DataFrame) -> DataFrame:
+def apply_first_wins(
+    df: DataFrame, id_col: str, edges: DataFrame, small_graph_threshold: int = 200_000
+) -> DataFrame:
     """Filter ``df`` to first-wins survivors given candidate edges over
     ``id_col`` (long order-rank ids). Rows without any edge are kept.
 
     The edge set is materialized once (it is consumed by the component
-    loop AND the resolve join — recomputing the banding self-join per
-    traversal would dominate)."""
+    loop AND the resolve join). Greedy MIS in id order over the whole
+    graph equals per-component greedy, so when the collision graph is
+    small (the overwhelmingly common case — duplicates are a few % of the
+    corpus) the component loop is skipped and one task resolves the whole
+    graph; the distributed label-propagation path handles the huge-graph
+    case."""
     edges = edges.localCheckpoint()
-    nodes = (
-        edges.select(F.col("src").alias("id"))
-        .union(edges.select(F.col("dst").alias("id")))
-        .distinct()
-    )
-    verdict = first_wins_keep_ids(nodes, edges).select(
+    n_edges = edges.count()
+    if n_edges == 0:
+        return df
+    if n_edges <= small_graph_threshold:
+        one = edges.withColumn("__g", F.lit(0))
+        verdict = one.groupBy("__g").applyInPandas(
+            lambda pdf: _greedy_resolve(
+                pd.DataFrame(
+                    {"id": np.concatenate([pdf["src"].values, pdf["dst"].values])}
+                ),
+                pdf,
+            ),
+            schema=_RESOLVE_SCHEMA,
+        )
+    else:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        verdict = first_wins_keep_ids(nodes, edges)
+    verdict = verdict.select(
         F.col("id").alias("__fw_id"), F.col("keep").alias("__fw_keep")
     )
     return (
