@@ -77,6 +77,27 @@ _REFINER_ORACLES = {
     ),
 }
 
+# the emoji class is written in \x{...} syntax — valid in both Java regex
+# (Spark native) and RE2 (DuckDB)
+_REFINER_ORACLES["remove_emoji"] = (
+    f"regexp_replace(text, '{X.EMOJI_CLASS_X}', '', 'g')"
+)
+_REFINER_ORACLES["remove_html_entity"] = (
+    f"regexp_replace(text, '{X.HTML_ENTITY_REGEX}', '', 'g')"
+)
+_REFINER_ORACLES["remove_image_refs"] = (
+    "regexp_replace(regexp_replace(text, '!\\[[^\\]]*\\]\\([^)]*\\)', '', 'g'),"
+    " '(?i)<img[^>]*>', '', 'g')"
+)
+_REFINER_ORACLES["remove_references"] = (
+    "regexp_replace(regexp_replace(text, '\\[[0-9]+\\]', '', 'g'),"
+    " '(?is)\\n\\s*references\\s*\\n.*$', '', 'g')"
+)
+_REFINER_ORACLES["remove_stopwords"] = (
+    "array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+    f" x -> x <> '' AND NOT list_contains({_SW_SQL}, lower(x))), ' ')"
+)
+
 
 def _refiner_query(name: str):
     def q(spark: SparkSession, sf: str) -> DataFrame:
