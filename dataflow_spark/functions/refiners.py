@@ -27,8 +27,6 @@ from pyspark.sql import types as T
 
 from dataflow_spark.functions import text as X
 
-_MONTHS = {}
-
 
 @dataclass(frozen=True)
 class Refiner:
