@@ -93,6 +93,25 @@ _REFINER_ORACLES["remove_references"] = (
     "regexp_replace(regexp_replace(text, '\\[[0-9]+\\]', '', 'g'),"
     " '(?is)\\n\\s*references\\s*\\n.*$', '', 'g')"
 )
+def _emoticon_oracle() -> str:
+    from dataflow_spark.functions.refiners import _EMOTICON_RE
+
+    return f"regexp_replace(text, '{_EMOTICON_RE.replace(chr(39), chr(39)*2)}', '', 'g')"
+
+
+def _contraction_oracle() -> str:
+    from dataflow_spark.functions.refiners import CONTRACTIONS
+
+    expr = "text"
+    for a, b in CONTRACTIONS:
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        expr = f"replace({expr}, '{qa}', '{qb}')"
+    return expr
+
+
+_REFINER_ORACLES["remove_emoticons"] = _emoticon_oracle()
+_REFINER_ORACLES["expand_contractions"] = _contraction_oracle()
+
 _REFINER_ORACLES["remove_stopwords"] = (
     "array_to_string(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
     f" x -> x <> '' AND NOT list_contains({_SW_SQL}, lower(x))), ' ')"
@@ -1353,6 +1372,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "answer_groundtruth_filter": _q_answer_groundtruth,
             "difficulty_classify": _q_difficulty_classify,
             "sft_from_seed": _q_sft_from_seed,
+            "refine_stem": lambda spark, sf: _t(spark, sf, "documents").select(
+                "doc_id",
+                __import__(
+                    "dataflow_spark.functions.refiners", fromlist=["refiner_udf"]
+                ).refiner_udf("stem")(F.col("text")).alias("text"),
+            ),
         }
     )
     return q

@@ -182,6 +182,62 @@ def _n_remove_stopwords(c: Column) -> Column:
     return F.when(c.isNull(), F.lit(None)).otherwise(F.array_join(toks, " "))
 
 
+_EMOTICONS = [
+    ":-)", ":)", ":-(", ":(", ":-D", ":D", ";-)", ";)", ":-P", ":P",
+    ":'(", ":o", ":O", "xD", "XD", "<3", ":-/", ":/", ":|", "^_^",
+]
+# longest-first so ':-)' wins over ':)' etc.
+_EMOTICON_RE = "|".join(
+    re.escape(e) for e in sorted(_EMOTICONS, key=len, reverse=True)
+)
+
+
+def _k_remove_emoticons(s: pd.Series) -> pd.Series:
+    # reference RemoveEmoticonsRefiner (refine/remove_emoticons_refiner.py:57,
+    # ~4k-entry dict) with the engine's pinned 20-entry core list
+    return s.str.replace(_EMOTICON_RE, "", regex=True)
+
+
+def _n_remove_emoticons(c: Column) -> Column:
+    return F.regexp_replace(c, _EMOTICON_RE, "")
+
+
+CONTRACTIONS: list[tuple[str, str]] = [
+    ("can't", "cannot"), ("won't", "will not"), ("n't", " not"),
+    ("'re", " are"), ("'ve", " have"), ("'ll", " will"), ("'d", " would"),
+    ("'m", " am"), ("let's", "let us"), ("it's", "it is"), ("that's", "that is"),
+]
+
+
+def _k_expand_contractions(s: pd.Series) -> pd.Series:
+    # reference RemoveContractionsRefiner (refine/remove_contractions_refiner.py:52
+    # uses the `contractions` lib) — pinned ordered replacement list,
+    # case-sensitive lowercase forms
+    def fix(v: str) -> str:
+        for a, b in CONTRACTIONS:
+            v = v.replace(a, b)
+        return v
+
+    return s.map(fix, na_action="ignore")
+
+
+def _n_expand_contractions(c: Column) -> Column:
+    out = c
+    for a, b in CONTRACTIONS:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+def _k_stem(s: pd.Series) -> pd.Series:
+    # reference StemmingLemmatizationRefiner (NLTK Porter) — engine-pinned
+    # Porter implementation (functions/stemmer.py); whitespace-token-wise
+    from dataflow_spark.functions.stemmer import porter_stem
+
+    return s.str.split().map(
+        lambda toks: " ".join(porter_stem(t) for t in toks), na_action="ignore"
+    )
+
+
 REFINERS: dict[str, Refiner] = {
     r.name: r
     for r in [
@@ -208,6 +264,12 @@ REFINERS: dict[str, Refiner] = {
                 "normalize numeric dates to ISO and $n to n USD"),
         Refiner("remove_stopwords", _k_remove_stopwords, _n_remove_stopwords,
                 "drop stopword tokens, single-space rejoin"),
+        Refiner("remove_emoticons", _k_remove_emoticons, _n_remove_emoticons,
+                "strip ASCII emoticons (pinned core list)"),
+        Refiner("expand_contractions", _k_expand_contractions, _n_expand_contractions,
+                "expand English contractions (pinned ordered list)"),
+        Refiner("stem", _k_stem, None,
+                "Porter-stem each whitespace token (pure-Python algorithm)"),
     ]
 }
 
