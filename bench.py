@@ -88,6 +88,9 @@ def main() -> None:
 
     # warm the JVM + parquet footers with a trivial action
     spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    # compile the pipeline's codegen on a tiny slice so the timed run
+    # measures steady-state throughput, not one-time JIT
+    _force(pt_pipeline_transcripts(spark, tpath).limit(2000))
 
     t0 = time.time()
     df = pt_pipeline_transcripts(spark, tpath)

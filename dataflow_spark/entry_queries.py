@@ -1183,6 +1183,49 @@ _STATS_ORACLES = {
         FROM documents""",
 }
 
+def _q_kcenter_select(spark, sf):
+    """ContentChooser shape (agentic_rag/filter/content_chooser.py:140):
+    kcenter-greedy diverse selection over embeddings (k=12)."""
+    from dataflow_spark.operators.selection import select_diverse
+
+    emb = _t(spark, sf, "embeddings")
+    return select_diverse(emb, k=12)
+
+
+def _q_answer_extraction(spark, sf):
+    """AnswerExtraction_QwenMathEval shape (reasoning/generate/
+    answer_extraction_qwenmmatheval.py:14): deterministic final-answer
+    extraction — last number in the text (or boxed expr when present)."""
+    docs = _t(spark, sf, "documents")
+    shaped = F.concat(
+        F.coalesce("text", F.lit("")),
+        F.lit(" the answer is "),
+        ((F.col("doc_id") * 37) % 1000).cast("string"),
+    )
+    boxed = F.regexp_extract(shaped, r"\\boxed\{([^}]*)\}", 1)
+    last_num = F.element_at(
+        F.regexp_extract_all(shaped, F.lit(r"-?\d+(?:\.\d+)?"), F.lit(0)), -1
+    )
+    return docs.select(
+        "doc_id",
+        F.when(boxed != "", boxed).otherwise(last_num).alias("extracted_answer"),
+    )
+
+
+def _q_category_classify(spark, sf):
+    """QuestionCategoryClassifier stand-in (reasoning/generate/
+    question_category_classifier.py:15): deterministic keyword buckets."""
+    docs = _t(spark, sf, "documents")
+    t = F.lower(F.coalesce("text", F.lit("")))
+    cat = (
+        F.when(t.rlike(r"\b(join|merge)\b"), "relational")
+        .when(t.rlike(r"\b(stream|window|batch)\b"), "streaming")
+        .when(t.rlike(r"\b(vector|hash)\b"), "algorithms")
+        .otherwise("general")
+    )
+    return docs.select("doc_id", cat.alias("category"))
+
+
 def _q_sft_from_seed(spark, sf):
     """SFTGeneratorSeed shape (general_text/generate/sft_generator_from_seed.py:27,66):
     seed document → (instruction, output) SFT record. Deterministic stand-in:
@@ -1257,6 +1300,26 @@ def _q_difficulty_classify(spark, sf):
     )
     return docs.select("doc_id", n.cast("long").alias("n_tokens"), label.alias("difficulty"))
 
+
+_STATS_ORACLES["answer_extraction"] = """
+    WITH shaped AS (
+      SELECT doc_id,
+             coalesce(text,'') || ' the answer is ' || CAST((doc_id * 37) % 1000 AS VARCHAR) AS t
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN regexp_extract(t, '\\\\boxed\\{([^}]*)\\}', 1) <> ''
+                THEN regexp_extract(t, '\\\\boxed\\{([^}]*)\\}', 1)
+                ELSE list_extract(regexp_extract_all(t, '-?\\d+(?:\\.\\d+)?'), -1)
+           END AS extracted_answer
+    FROM shaped"""
+
+_STATS_ORACLES["category_classify"] = """
+    SELECT doc_id,
+           CASE WHEN regexp_matches(lower(coalesce(text,'')), '\\b(join|merge)\\b') THEN 'relational'
+                WHEN regexp_matches(lower(coalesce(text,'')), '\\b(stream|window|batch)\\b') THEN 'streaming'
+                WHEN regexp_matches(lower(coalesce(text,'')), '\\b(vector|hash)\\b') THEN 'algorithms'
+                ELSE 'general' END AS category
+    FROM documents"""
 
 _STATS_ORACLES["sft_from_seed"] = f"""
     WITH m AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
@@ -1372,6 +1435,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "answer_groundtruth_filter": _q_answer_groundtruth,
             "difficulty_classify": _q_difficulty_classify,
             "sft_from_seed": _q_sft_from_seed,
+            "kcenter_select": _q_kcenter_select,
+            "answer_extraction": _q_answer_extraction,
+            "category_classify": _q_category_classify,
             "refine_stem": lambda spark, sf: _t(spark, sf, "documents").select(
                 "doc_id",
                 __import__(
