@@ -1183,6 +1183,31 @@ _STATS_ORACLES = {
         FROM documents""",
 }
 
+def _q_events_profile(spark, sf):
+    """Dataset profile with EXACT statistics (oracle-checked): distinct
+    users, exact percentiles of value per event_type."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_sketch_profile(spark, sf):
+    """Sketch-based profile (approx_count_distinct HLL + approx quantiles)
+    — the 100-TB path where exact distinct/percentile would shuffle
+    everything; deterministic for fixed input but engine-specific, so
+    rows-only checked."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.round(F.expr("approx_percentile(value, 0.5, 1000)"), 4).alias("approx_p50"),
+        F.round(F.expr("approx_percentile(value, 0.99, 1000)"), 4).alias("approx_p99"),
+    )
+
+
 def _q_kcenter_select(spark, sf):
     """ContentChooser shape (agentic_rag/filter/content_chooser.py:140):
     kcenter-greedy diverse selection over embeddings (k=12)."""
@@ -1300,6 +1325,14 @@ def _q_difficulty_classify(spark, sf):
     )
     return docs.select("doc_id", n.cast("long").alias("n_tokens"), label.alias("difficulty"))
 
+
+_STATS_ORACLES["events_profile"] = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           count(*) AS n_events
+    FROM events GROUP BY event_type"""
 
 _STATS_ORACLES["answer_extraction"] = """
     WITH shaped AS (
@@ -1436,6 +1469,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "difficulty_classify": _q_difficulty_classify,
             "sft_from_seed": _q_sft_from_seed,
             "kcenter_select": _q_kcenter_select,
+            "events_profile": _q_events_profile,
+            "sketch_profile": _q_sketch_profile,
             "answer_extraction": _q_answer_extraction,
             "category_classify": _q_category_classify,
             "refine_stem": lambda spark, sf: _t(spark, sf, "documents").select(

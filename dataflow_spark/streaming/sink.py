@@ -95,9 +95,15 @@ class KeyedMergeSink:
         with open(self._commits_path, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n_rows}) + "\n")
 
-    def read_table(self, spark: SparkSession) -> DataFrame:
-        """Merged view: last-writer-wins per key over committed batches."""
+    def read_table(self, spark: SparkSession, as_of_batch: int | None = None) -> DataFrame:
+        """Merged view: last-writer-wins per key over committed batches.
+
+        ``as_of_batch`` gives snapshot time travel (the Iceberg
+        snapshot-id read, storage.py step-file restart analogue): the
+        table exactly as it stood after that batch committed."""
         committed = self.committed_batches()
+        if as_of_batch is not None:
+            committed = {b for b in committed if b <= as_of_batch}
         data_dir = os.path.join(self.table_dir, "data")
         if not committed or not os.path.exists(data_dir):
             raise FileNotFoundError(f"no committed batches in {self.table_dir}")
