@@ -43,6 +43,9 @@ def run_at(cores: int, turns: int, zpath: str) -> dict:
     cmd = [
         spark_submit,
         "--master", f"local[{cores}]",
+        # builder-set driver memory is ignored under spark-submit — the
+        # default 1g OOMs on the multi-million-turn legs
+        "--driver-memory", os.environ.get("DFS_DRIVER_MEM", "16g"),
         "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
         "--conf", f"spark.default.parallelism={2 * cores}",
         "--conf", "spark.ui.enabled=false",
@@ -116,6 +119,7 @@ def main() -> None:
         "high": r_hi,
         "batch_scaling_efficiency": eff("batch_turns_per_sec"),
         "stream_scaling_efficiency": eff("stream_turns_per_sec"),
+        "assembly_scaling_efficiency": eff("assembly_turns_per_sec"),
         "machine_cpu_ceiling_efficiency": ceiling,
         "batch_efficiency_vs_ceiling": round(eff("batch_turns_per_sec") / ceiling, 3),
         "stream_efficiency_vs_ceiling": round(eff("stream_turns_per_sec") / ceiling, 3),
@@ -145,6 +149,7 @@ transfer to real executors that do scale linearly).
 |---|---|---|---|---|---|
 | batch PT pipeline | {r_lo['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']:,} | {r_hi['batch_turns_per_sec']/r_lo['batch_turns_per_sec']:.2f}x | {report['batch_scaling_efficiency']} | {report['batch_efficiency_vs_ceiling']} |
 | streaming PT pipeline + exactly-once sink | {r_lo['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']:,} | {r_hi['stream_turns_per_sec']/r_lo['stream_turns_per_sec']:.2f}x | {report['stream_scaling_efficiency']} | {report['stream_efficiency_vs_ceiling']} |
+| stateful session assembly (applyInPandasWithState) | {r_lo['assembly_turns_per_sec']:,} | {r_hi['assembly_turns_per_sec']:,} | {r_hi['assembly_turns_per_sec']/r_lo['assembly_turns_per_sec']:.2f}x | {report['assembly_scaling_efficiency']} | {round(report['assembly_scaling_efficiency']/ceiling, 3)} |
 
 Raw: low={json.dumps(r_lo)}
      high={json.dumps(r_hi)}

@@ -108,6 +108,26 @@ def main() -> None:
     shutil.rmtree(sink_dir, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
 
+    # ---- stateful mode: session-window conversation assembly
+    from dataflow_spark.streaming.assembly import assemble_conversations
+
+    ck2 = tempfile.mkdtemp(prefix="dfs_scale_ck2_")
+    t0 = time.time()
+    aq = (
+        assemble_conversations(
+            file_stream(spark, data_dir, max_files_per_trigger=16),
+            gap_seconds=600,
+            watermark="2 minutes",
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    aq.awaitTermination()
+    assembly_s = time.time() - t0
+    shutil.rmtree(ck2, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -119,6 +139,8 @@ def main() -> None:
                 "stream_turns_per_sec": round(args.turns / stream_s, 1),
                 "stream_rows_sunk": n_sunk,
                 "n_batches": len(lineage),
+                "assembly_s": round(assembly_s, 2),
+                "assembly_turns_per_sec": round(args.turns / assembly_s, 1),
             }
         )
     )
