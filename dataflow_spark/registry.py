@@ -1,0 +1,89 @@
+"""Operator registry — lookup by name.
+
+Reference: OPERATOR_REGISTRY resolves operator classes by name with lazy
+imports (/root/reference/dataflow/utils/registry.py:34-118,
+core/Operator.py:20-31 get_operator). Engine analogue: a flat registry of
+DataFrame-transform factories spanning every operator family; each entry
+returns a callable ``(df, **params) -> DataFrame``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def _refiner_factory(name: str):
+    from dataflow_spark.functions.refiners import apply_refiner
+
+    def op(df: DataFrame, col: str = "text", mode: str = "native") -> DataFrame:
+        return apply_refiner(df, name, col, mode)
+
+    return op
+
+
+def _filter_factory(name: str):
+    from dataflow_spark.functions.filters import apply_filter
+
+    def op(df: DataFrame, col: str = "text", mode: str = "native") -> DataFrame:
+        return apply_filter(df, name, col, mode)
+
+    return op
+
+
+def _build() -> dict[str, Callable]:
+    from dataflow_spark.functions.filters import FILTERS
+    from dataflow_spark.functions.refiners import REFINERS
+    from dataflow_spark.operators import dedup as D
+    from dataflow_spark.operators.retrieval import bm25_topk
+    from dataflow_spark.operators.selection import select_diverse
+    from dataflow_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+    from dataflow_spark.operators.splitter import split_chars, split_sentences, split_words
+
+    reg: dict[str, Callable] = {}
+    for name in REFINERS:
+        reg[f"refine.{name}"] = _refiner_factory(name)
+    for name in FILTERS:
+        reg[f"filter.{name}"] = _filter_factory(name)
+    reg.update(
+        {
+            "dedup.exact": D.dedup_exact,
+            "dedup.minhash": D.dedup_minhash,
+            "dedup.simhash": D.dedup_simhash,
+            "dedup.ngram_chunks": D.dedup_ngram_chunks,
+            "dedup.embedding_cosine": D.dedup_embedding_cosine,
+            "split.chars": split_chars,
+            "split.words": split_words,
+            "split.sentences": split_sentences,
+            "retrieve.bm25": bm25_topk,
+            "ann.bruteforce": ann_topk_bruteforce,
+            "ann.lsh": ann_topk_lsh,
+            "select.kcenter": select_diverse,
+        }
+    )
+    return reg
+
+
+_REGISTRY: dict[str, Callable] | None = None
+
+
+def registry() -> dict[str, Callable]:
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = _build()
+    return _REGISTRY
+
+
+def get_operator(name: str) -> Callable:
+    reg = registry()
+    if name not in reg:
+        import difflib
+
+        hint = difflib.get_close_matches(name, reg, n=3)
+        raise KeyError(f"unknown operator {name!r}; close matches: {hint}")
+    return reg[name]
+
+
+def list_operators() -> list[str]:
+    return sorted(registry())
