@@ -342,6 +342,11 @@ def _q_dedup_ngram_chunks(spark, sf):
     return D.dedup_ngram_chunks(df, "doc_id").select("doc_id", "text")
 
 
+def _q_dedup_ngram_jaccard(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return D.dedup_ngram_jaccard(df, "doc_id", threshold=0.8).select("doc_id", "text")
+
+
 def _q_dedup_embedding(spark, sf):
     df = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
@@ -1425,6 +1430,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_ngram_chunks": _q_dedup_ngram_chunks,
+            "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "score_ngram": _q_score_ngram,
             "score_token_count": _q_score_token_count,

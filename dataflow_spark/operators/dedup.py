@@ -335,6 +335,57 @@ def dedup_minhash(
     return apply_first_wins(df, order_col, edges)
 
 
+def shingle_set_udf(ngram: int = 5):
+    """text → sorted distinct byte-n-gram hashes (the exact shingle set)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        def sh(v: str):
+            norm = " ".join(v.lower().split())
+            return _rolling_byte_ngram_hashes(norm.encode("utf-8"), ngram).astype(
+                np.int64
+            ).tolist()
+
+        return s.fillna("").map(sh)
+
+    return _udf
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    order_col: str,
+    text_col: str = "text",
+    threshold: float = 0.8,
+    ngram: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+    seed: int = 1,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dedup: MinHash bands generate candidates,
+    each candidate pair is VERIFIED with the true Jaccard of the byte
+    n-gram shingle sets (array_intersect/array_union — JVM-side), then
+    first-wins. Unlike ``dedup_minhash`` (reference no-verify semantics)
+    this has no false positives."""
+    sh = df.select(
+        F.col(order_col).alias("id"), shingle_set_udf(ngram)(F.col(text_col)).alias("sh")
+    ).localCheckpoint()
+    cand = minhash_band_edges(df, order_col, text_col, num_perm, bands, seed)
+    l = sh.select(F.col("id").alias("src"), F.col("sh").alias("sh_l"))
+    r = sh.select(F.col("id").alias("dst"), F.col("sh").alias("sh_r"))
+    verified = (
+        cand.join(l, "src")
+        .join(r, "dst")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_l", "sh_r")).cast("double")
+            / F.size(F.array_union("sh_l", "sh_r")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("src", "dst")
+    )
+    return apply_first_wins(df, order_col, verified)
+
+
 # ----------------------------------------------------------------- simhash
 
 

@@ -64,6 +64,20 @@ def test_ngram_chunks(spark):
     assert kept == [0, 2]
 
 
+def test_ngram_jaccard_verifies(spark):
+    base = "the quick brown fox jumps over the lazy dog again " * 6
+    rows = [
+        (0, base),
+        (1, base + "tail"),  # true near-dup (high Jaccard)
+        # shares vocabulary (band collisions possible) but low exact Jaccard
+        (2, "the quick dog over fox lazy brown jumps " + "zig zag " * 40),
+        (3, "completely different text about streaming state stores " * 4),
+    ]
+    df = spark.createDataFrame(rows, "rid long, text string")
+    kept = _kept_rids(D.dedup_ngram_jaccard(df, "rid", threshold=0.8))
+    assert 0 in kept and 1 not in kept and 2 in kept and 3 in kept
+
+
 def test_embedding_cosine(spark):
     import numpy as np
 
