@@ -77,6 +77,19 @@ _REFINER_ORACLES = {
     ),
 }
 
+
+def _pii_oracle_expr() -> str:
+    # chained regexp_replace built from the SAME pattern list as the engine
+    from dataflow_spark.functions.refiners import PII_PATTERNS
+
+    expr = "text"
+    for pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+_REFINER_ORACLES["redact_pii"] = _pii_oracle_expr()
+
 # the emoji class is written in \x{...} syntax — valid in both Java regex
 # (Spark native) and RE2 (DuckDB)
 _REFINER_ORACLES["remove_emoji"] = (
@@ -398,8 +411,12 @@ def _q_score_lexdiv(spark, sf):
 
 
 def _q_score_winnowing(spark, sf):
+    # exploded (doc_id, fp) rows — scalar columns so the driver's
+    # canonicalizer can sort/hash them (arrays are unhashable in pandas)
     df = _t(spark, sf, "documents")
-    return df.select("doc_id", S.winnowing_udf()(F.col("text")).alias("fingerprints"))
+    return df.select(
+        "doc_id", S.winnowing_fingerprints_native(F.col("text")).alias("fps")
+    ).select("doc_id", F.explode("fps").alias("fp"))
 
 
 _SCORER_ORACLES = {
@@ -461,6 +478,26 @@ _SCORER_ORACLES = {
         SELECT doc_id,
                md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))) AS fp
         FROM documents""",
+    # winnowing: md5-based char 8-gram hashes, window-16 minima, distinct
+    # sorted, exploded — exact twin of winnowing_fingerprints_native
+    "score_winnowing": """
+        WITH m AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g')) AS norm
+          FROM documents),
+        g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(norm) - 6),
+                   i -> ('0x' || substr(md5(substr(norm, i, 8)), 1, 15))::BIGINT) AS h
+          FROM m WHERE len(norm) >= 8),
+        w AS (
+          SELECT doc_id,
+                 CASE WHEN len(h) <= 16 THEN [list_min(h)]
+                      ELSE list_transform(range(1, len(h) - 14),
+                             i -> list_min(h[i:i+15]))
+                 END AS mins
+          FROM g)
+        SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w""",
 }
 
 
@@ -595,36 +632,39 @@ def _q_assembly(spark, sf):
 def _q_join_user_assistant(spark, sf):
     """Pair each user turn with the FIRST later assistant turn in the same
     conversation (batch form of the stream-stream join,
-    func_call_operators.py:517-567 pairing semantics)."""
+    func_call_operators.py:517-567 pairing semantics).
+
+    Plan: ONE window pass per conv_id (first-following-assistant via an
+    ignoreNulls frame scan) — no join at all. The round-1 conv_id equi-join
+    was O(users × assistants) per conversation; a 100k-turn support thread
+    at 10^12 scale would square. A window is linear in conversation size."""
     tr = _derived_transcripts(spark, sf)
-    users = tr.filter(F.col("role") == "user").select(
-        "conv_id", F.col("turn_idx").alias("user_turn_idx"), F.col("ts").alias("uts")
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
     )
-    asst = tr.filter(F.col("role") == "assistant").select(
-        "conv_id", F.col("turn_idx").alias("assistant_turn_idx"), F.col("ts").alias("ats")
-    )
-    joined = users.join(asst, "conv_id").filter(
-        F.col("assistant_turn_idx") > F.col("user_turn_idx")
-    )
-    firsts = joined.groupBy("conv_id", "user_turn_idx").agg(
-        F.min_by(
-            F.struct("assistant_turn_idx", "ats"), F.col("assistant_turn_idx")
-        ).alias("m"),
-        F.min("uts").alias("uts"),
-    )
-    return firsts.select(
-        "conv_id",
-        "user_turn_idx",
-        F.col("m.assistant_turn_idx").alias("assistant_turn_idx"),
-        # integer microseconds — exact on both engines, no FP flooring
-        # parquet ts arrives as TIMESTAMP_NTZ; session tz is UTC so the
-        # cast is a pure reinterpretation
-        (
-            F.unix_micros(F.col("m.ats").cast("timestamp"))
-            - F.unix_micros(F.col("uts").cast("timestamp"))
+    nxt = F.first(
+        F.when(F.col("role") == "assistant", F.struct("turn_idx", "ts")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        tr.withColumn("nxt", nxt)
+        .filter((F.col("role") == "user") & F.col("nxt").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("user_turn_idx"),
+            F.col("nxt.turn_idx").alias("assistant_turn_idx"),
+            # integer microseconds — exact on both engines, no FP flooring
+            # parquet ts arrives as TIMESTAMP_NTZ; session tz is UTC so the
+            # cast is a pure reinterpretation
+            (
+                F.unix_micros(F.col("nxt.ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("latency_us"),
         )
-        .cast("long")
-        .alias("latency_us"),
     )
 
 

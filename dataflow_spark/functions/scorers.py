@@ -245,40 +245,43 @@ def fingerprint_md5_native(c: Column) -> Column:
     return F.md5(norm)
 
 
-def winnowing_udf(k: int = 8, w: int = 16):
+def winnowing_fingerprints_native(c: Column, k: int = 8, w: int = 16) -> Column:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03):
-    k-gram rolling hashes, per-window minima, distinct sorted selection.
-    Pure-Python-free: numpy sliding windows inside an Arrow batch."""
+    char k-gram hashes, per-window minima, distinct sorted selection.
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _udf(s: pd.Series) -> pd.Series:
-        def fp(v: str):
-            norm = " ".join(v.lower().split())
-            b = norm.encode("utf-8")
-            if len(b) < k:
-                return []
-            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
-            # polynomial rolling hash over k-grams, base 257 mod 2^61-1
-            mod = np.uint64((1 << 61) - 1)
-            base = np.uint64(257)
-            n_grams = len(b) - k + 1
-            hashes = np.zeros(n_grams, dtype=np.uint64)
-            h = np.uint64(0)
-            powk = pow(257, k - 1, (1 << 61) - 1)
-            for i in range(k):
-                h = (h * base + arr[i]) % mod
-            hashes[0] = h
-            with np.errstate(over="ignore"):  # deterministic uint64 wraparound
-                for i in range(1, n_grams):
-                    h = ((h - arr[i - 1] * np.uint64(powk)) % mod) * base % mod
-                    h = (h + arr[i + k - 1]) % mod
-                    hashes[i] = h
-            if n_grams <= w:
-                return [int(hashes.min())]
-            win = np.lib.stride_tricks.sliding_window_view(hashes, w)
-            minima = win.min(axis=1)
-            return sorted({int(x) for x in minima})
+    Fully Catalyst-native (no Python): k-gram hash = first 15 hex chars of
+    md5(k-gram) parsed as int64 — identical in any engine with md5, which
+    is what makes the DuckDB oracle exact. Text is normalized first
+    (lowercase, whitespace runs collapsed, trimmed). Documents shorter
+    than ``k`` chars yield an empty fingerprint array."""
+    # Catalyst does not CSE across lambda boundaries — an array expression
+    # referenced inside transform() is RE-EVALUATED per element (O(m²)
+    # blowup). Bind each intermediate once via transform-over-1-elem-array.
+    def bind(col: Column, f) -> Column:
+        return F.element_at(F.transform(F.array(col), f), 1)
 
-        return s.fillna("").map(fp)
+    empty = F.array().cast("array<bigint>")
+    norm = F.trim(F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "))
 
-    return _udf
+    def over_norm(nrm: Column) -> Column:
+        n = F.length(nrm)
+        hashes = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(nrm, i, F.lit(k))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+
+        def over_hashes(hs: Column) -> Column:
+            m = F.size(hs)
+            minima = F.when(m <= w, F.array(F.array_min(hs))).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), m - (w - 1)),
+                    lambda i: F.array_min(F.slice(hs, i, F.lit(w))),
+                )
+            )
+            return F.array_sort(F.array_distinct(minima))
+
+        return F.when(n < k, empty).otherwise(bind(hashes, over_hashes))
+
+    return bind(norm, over_norm)

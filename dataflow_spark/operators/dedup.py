@@ -8,18 +8,25 @@ maximal-independent-set over the collision graph, taken in a global stable
 order — here always ``(order key asc)`` with the engine's canonical order key
 being ``(conv_id, turn_idx)`` / ``doc_id``.
 
-Parallel re-expression (no driver-side loops):
+Parallel re-expression (no driver-side loops, no pairwise self-joins):
 
-1. candidate edges  — banding/bucketing self-join (LSH bands, simhash
-   sub-keys, chunk hashes, hyperplane buckets). Shuffle keyed on the band
-   hash; AQE splits skewed buckets.
-2. connected components — iterative min-label propagation on the edge set
-   (components of near-dup graphs are tiny; converges in a few rounds;
-   lineage cut via localCheckpoint each round).
-3. per-component greedy resolve — cogrouped ``applyInPandas``: sort members
-   by the order key, keep a member iff it has no edge to an already-kept
-   member. Exactly the reference's sequential semantics, but the sequential
-   region is one (tiny) component instead of the whole table.
+1. bucket table   — (id, band) rows from banding/bucketing (LSH bands,
+   simhash sub-keys, chunk hashes, hyperplane buckets). Shuffle keyed on
+   the band value only.
+2. star edges     — every member of a duplicated bucket links to the
+   bucket's min id. Same connectivity as the full within-bucket clique but
+   O(members) edges instead of O(members²): a 1M-row hot bucket (think
+   boilerplate docs at 100 TB) emits 1M edges, not 10¹².
+3. connected components — min-label propagation on the star edges (star
+   unions have tiny diameter; converges in 1-2 rounds).
+4. per-component greedy claim — cogrouped ``applyInPandas`` over the
+   component's (id, band) rows [+ optional per-id payload]: scan ids
+   ascending; a row collides iff a *kept* row already claimed >=
+   ``min_shared`` of its bands and (for verified families) the exact
+   similarity check passes. This is literally the reference's
+   LSH-insertion-session loop (minhash_deduplicator.py:74-89), restricted
+   to one component — and greedy over components equals the global scan
+   because rows in different components share no bucket.
 
 Exact dedup needs none of that: first-wins == min-by-order within the hash
 group — a single map-side-combinable aggregation.
@@ -107,8 +114,10 @@ def connected_components(
 
     # two propagation rounds per convergence check: near-dup components are
     # shallow (usually diameter <= 2), so this halves the count-jobs without
-    # extra rounds in the common case
-    for _ in range(max_iter // 2):
+    # extra rounds in the common case. Loops until a fixpoint — ``max_iter``
+    # only bounds label-prop ROUNDS per check, never truncates convergence
+    # (a truncated label split would silently keep extra duplicates).
+    while True:
         new_lab = one_round(one_round(lab)).localCheckpoint()
         changed = (
             new_lab.alias("n")
@@ -226,6 +235,146 @@ def with_order_rank(df: DataFrame, order_cols: list[str], rank_col: str = "__ord
     return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
 
 
+# -------------------------------------------------- bucket-claim first-wins
+
+
+def _greedy_claim_resolve(
+    bands: pd.DataFrame,
+    payload: pd.DataFrame | None,
+    prepare=None,
+    verify=None,
+    min_shared: int = 1,
+) -> pd.DataFrame:
+    """Reference LSH-insertion-session loop over ONE collision component
+    (minhash_deduplicator.py:74-89 / simhash_deduplicator.py:70-85): scan
+    ids ascending; a row is dropped iff some KEPT row shares >=
+    ``min_shared`` of its bands and (if ``verify``) the exact check passes;
+    kept rows claim their bands."""
+    by_id = bands.groupby("id")["band"].agg(list)
+    data: dict[int, object] = {}
+    if payload is not None and verify is not None:
+        prep = prepare if prepare is not None else (lambda x: x)
+        data = {int(i): prep(v) for i, v in zip(payload["id"].values, payload["data"].values)}
+    owners: dict[object, list[int]] = {}
+    kept: set[int] = set()
+    out = []
+    for i in by_id.index:
+        i = int(i)
+        bs = by_id[i]
+        collide = False
+        if verify is None and min_shared <= 1:
+            collide = any(b in owners for b in bs)
+        else:
+            cnt: dict[int, int] = {}
+            cands: list[int] = []
+            for b in bs:
+                for j in owners.get(b, ()):
+                    c = cnt.get(j, 0) + 1
+                    cnt[j] = c
+                    if c == min_shared:
+                        cands.append(j)
+            if verify is None:
+                collide = bool(cands)
+            else:
+                mine = data.get(i)
+                collide = any(verify(mine, data[j]) for j in cands)
+        if not collide:
+            kept.add(i)
+            for b in bs:
+                owners.setdefault(b, []).append(i)
+        out.append((i, not collide))
+    return pd.DataFrame(out, columns=["id", "keep"])
+
+
+def first_wins_bucket_claim(
+    df: DataFrame,
+    id_col: str,
+    buckets: DataFrame,
+    payload: DataFrame | None = None,
+    prepare=None,
+    verify=None,
+    min_shared: int = 1,
+    small_graph_threshold: int = 500_000,
+) -> DataFrame:
+    """Filter ``df`` to first-wins survivors given a bucket table
+    ``buckets(id, band)`` (id = long order rank; (id, band) pairs distinct).
+
+    Collision relation: rows i<j collide iff they share >= ``min_shared``
+    bands and (for verified families) ``verify(prepare(data_i),
+    prepare(data_j))`` holds, with per-id ``payload(id, data)``. Rows whose
+    every band is globally unique never collide and are kept without ever
+    entering the resolve — the working set is the duplicate population, not
+    the corpus.
+
+    Scale shape: one shuffle on band (dup-bucket detection), star edges to
+    the bucket-min id (O(members), immune to hot-bucket pair explosion),
+    label-prop components, then one cogrouped applyInPandas whose groups are
+    single collision components. When the whole duplicate population is
+    small (<= ``small_graph_threshold`` member rows) the component loop is
+    skipped and one task replays the global scan."""
+    buckets = buckets.select(
+        F.col(buckets.columns[0]).alias("id"), F.col(buckets.columns[1]).alias("band")
+    )
+    roots = (
+        buckets.groupBy("band")
+        .agg(F.min("id").alias("root"), F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("band", "root")
+    )
+    members = buckets.join(roots, "band").select("id", "band", "root").localCheckpoint()
+    n_members = members.count()
+    if n_members == 0:
+        return df
+
+    need_payload = payload is not None and verify is not None
+    if n_members <= small_graph_threshold:
+        grouped = members.select("id", "band").withColumn("__g", F.lit(0))
+        pay = (
+            payload.join(members.select("id").distinct(), "id")
+            .select("id", "data")
+            .withColumn("__g", F.lit(0))
+            if need_payload
+            else None
+        )
+        key = "__g"
+    else:
+        edges = (
+            members.filter(F.col("id") != F.col("root"))
+            .select(F.col("root").alias("src"), F.col("id").alias("dst"))
+            .distinct()
+        )
+        comp = connected_components(edges)
+        grouped = members.join(comp, "id").select("id", "band", "comp")
+        pay = (
+            payload.join(comp, "id").select("id", "data", "comp") if need_payload else None
+        )
+        key = "comp"
+
+    def run(bands_pdf: pd.DataFrame, payload_pdf: pd.DataFrame | None) -> pd.DataFrame:
+        return _greedy_claim_resolve(
+            bands_pdf.sort_values("id"), payload_pdf, prepare, verify, min_shared
+        )
+
+    if pay is not None:
+        verdict = (
+            grouped.groupBy(key)
+            .cogroup(pay.groupBy(key))
+            .applyInPandas(lambda left, right: run(left, right), schema=_RESOLVE_SCHEMA)
+        )
+    else:
+        verdict = grouped.groupBy(key).applyInPandas(
+            lambda pdf: run(pdf, None), schema=_RESOLVE_SCHEMA
+        )
+    verdict = verdict.select(
+        F.col("id").alias("__fw_id"), F.col("keep").alias("__fw_keep")
+    )
+    return (
+        df.join(verdict, df[id_col] == verdict["__fw_id"], "left")
+        .filter(F.coalesce(F.col("__fw_keep"), F.lit(True)))
+        .drop("__fw_id", "__fw_keep")
+    )
+
+
 # ----------------------------------------------------------------- minhash
 
 
@@ -250,14 +399,41 @@ def _rolling_byte_ngram_hashes(b: bytes, n: int) -> np.ndarray:
     return np.unique(win @ powers).astype(np.uint64)
 
 
+def optimal_band_param(
+    threshold: float,
+    num_perm: int,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> tuple[int, int]:
+    """(bands, rows_per_band) minimizing weighted false-positive +
+    false-negative area of the LSH S-curve at ``threshold`` — the same
+    objective datasketch's MinHashLSH optimizes (public algorithm;
+    datasketch lsh.py _optimal_param), evaluated with a fixed-grid
+    trapezoid integral so the result is deterministic here."""
+    xs = np.linspace(0.0, 1.0, 2049)
+    below = xs <= threshold
+    best, best_err = (1, num_perm), float("inf")
+    for b in range(1, num_perm + 1):
+        for r in range(1, num_perm // b + 1):
+            p_collide = 1.0 - (1.0 - xs**r) ** b
+            fp = np.trapz(p_collide[below], xs[below])
+            fn = np.trapz(1.0 - p_collide[~below], xs[~below])
+            err = fp * fp_weight + fn * fn_weight
+            if err < best_err:
+                best_err, best = err, (b, r)
+    return best
+
+
 def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
     """Arrow pandas_udf: text → array<long> MinHash signature.
 
-    Engine semantics (pinned): lowercase, whitespace-collapsed text; byte
-    5-gram shingle set; universal hashing h_i(x)=(a_i*x+b_i) mod (2^61-1),
-    signature[i]=min_x h_i(x). (Reference uses datasketch with the same
-    structure: minhash_deduplicator.py:47-55; datasketch is unavailable
-    here so permutations are pinned to this seed.)
+    Engine semantics (pinned): RAW text (reference shingles the unmodified
+    string: minhash_deduplicator.py:50-53), byte 5-gram shingle set over
+    the utf-8 encoding (the reference hashes char 5-grams' utf-8 bytes —
+    identical on ASCII, byte- vs char-windows differ only across multibyte
+    boundaries); universal hashing h_i(x)=(a_i*x+b_i) mod (2^61-1),
+    signature[i]=min_x h_i(x). (datasketch is unavailable here so the
+    permutations are pinned to this seed.)
     """
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64)
@@ -266,8 +442,7 @@ def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(s: pd.Series) -> pd.Series:
         def sig(v: str):
-            norm = " ".join(v.lower().split())
-            hv = _rolling_byte_ngram_hashes(norm.encode("utf-8"), ngram)
+            hv = _rolling_byte_ngram_hashes(v.encode("utf-8"), ngram)
             if hv.size == 0:
                 return [0] * num_perm
             # (S, P) universal hash then column-min — pure numpy
@@ -279,27 +454,29 @@ def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
     return _udf
 
 
-def minhash_band_edges(
+def minhash_bucket_table(
     df: DataFrame,
     id_col: str,
     text_col: str = "text",
     num_perm: int = 128,
-    bands: int = 16,
+    threshold: float = 0.9,
+    bands: int | None = None,
     seed: int = 1,
 ) -> DataFrame:
-    """Candidate edges: rows sharing any LSH band of the MinHash signature.
-
-    bands=16, rows/band=8 → collision threshold ≈ (1/16)^(1/8) ≈ 0.71 sig
-    similarity; the reference's datasketch LSH at threshold .9 treats any
-    band collision as a duplicate *without* verification
-    (minhash_deduplicator.py:74-86) — we pin the same no-verify semantics.
-    """
-    rows_per_band = num_perm // bands
+    """(id, band) bucket table of the MinHash LSH index. ``bands`` defaults
+    to the datasketch-optimal banding for ``threshold`` (reference runs
+    MinHashLSH(threshold=0.9, num_perm=128): minhash_deduplicator.py:73);
+    any band collision is a duplicate *without* verification — the
+    reference's no-verify semantics, pinned."""
+    if bands is None:
+        bands, rows_per_band = optimal_band_param(threshold, num_perm)
+    else:
+        rows_per_band = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("id"),
         minhash_signature_udf(num_perm=num_perm, seed=seed)(F.col(text_col)).alias("sig"),
     )
-    band_tbl = sig.select(
+    return sig.select(
         "id",
         F.explode(
             F.transform(
@@ -314,12 +491,6 @@ def minhash_band_edges(
             )
         ).alias("band"),
     )
-    l, r = band_tbl.alias("l"), band_tbl.alias("r")
-    return (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")))
-        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
-        .distinct()
-    )
 
 
 def dedup_minhash(
@@ -327,22 +498,23 @@ def dedup_minhash(
     order_col: str,
     text_col: str = "text",
     num_perm: int = 128,
-    bands: int = 16,
+    threshold: float = 0.9,
+    bands: int | None = None,
     seed: int = 1,
 ) -> DataFrame:
     """MinHash-LSH near-dedup, first-wins by ``order_col`` (long)."""
-    edges = minhash_band_edges(df, order_col, text_col, num_perm, bands, seed)
-    return apply_first_wins(df, order_col, edges)
+    buckets = minhash_bucket_table(df, order_col, text_col, num_perm, threshold, bands, seed)
+    return first_wins_bucket_claim(df, order_col, buckets)
 
 
 def shingle_set_udf(ngram: int = 5):
-    """text → sorted distinct byte-n-gram hashes (the exact shingle set)."""
+    """text → sorted distinct byte-n-gram hashes (the exact shingle set,
+    raw text — same shingle definition as the MinHash signature)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(s: pd.Series) -> pd.Series:
         def sh(v: str):
-            norm = " ".join(v.lower().split())
-            return _rolling_byte_ngram_hashes(norm.encode("utf-8"), ngram).astype(
+            return _rolling_byte_ngram_hashes(v.encode("utf-8"), ngram).astype(
                 np.int64
             ).tolist()
 
@@ -358,32 +530,30 @@ def dedup_ngram_jaccard(
     threshold: float = 0.8,
     ngram: int = 5,
     num_perm: int = 128,
-    bands: int = 16,
+    lsh_threshold: float | None = None,
     seed: int = 1,
 ) -> DataFrame:
-    """Exact n-gram-Jaccard near-dedup: MinHash bands generate candidates,
-    each candidate pair is VERIFIED with the true Jaccard of the byte
-    n-gram shingle sets (array_intersect/array_union — JVM-side), then
-    first-wins. Unlike ``dedup_minhash`` (reference no-verify semantics)
-    this has no false positives."""
-    sh = df.select(
-        F.col(order_col).alias("id"), shingle_set_udf(ngram)(F.col(text_col)).alias("sh")
-    ).localCheckpoint()
-    cand = minhash_band_edges(df, order_col, text_col, num_perm, bands, seed)
-    l = sh.select(F.col("id").alias("src"), F.col("sh").alias("sh_l"))
-    r = sh.select(F.col("id").alias("dst"), F.col("sh").alias("sh_r"))
-    verified = (
-        cand.join(l, "src")
-        .join(r, "dst")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("sh_l", "sh_r")).cast("double")
-            / F.size(F.array_union("sh_l", "sh_r")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("src", "dst")
+    """Exact n-gram-Jaccard near-dedup: MinHash LSH buckets generate
+    candidates, each candidate (new row, kept row) is VERIFIED with the
+    true Jaccard of the byte n-gram shingle sets inside the per-component
+    greedy scan, then first-wins. Unlike ``dedup_minhash`` (reference
+    no-verify semantics) this has no false positives."""
+    buckets = minhash_bucket_table(
+        df, order_col, text_col, num_perm,
+        lsh_threshold if lsh_threshold is not None else threshold, None, seed,
     )
-    return apply_first_wins(df, order_col, verified)
+    payload = df.select(
+        F.col(order_col).alias("id"), shingle_set_udf(ngram)(F.col(text_col)).alias("data")
+    )
+
+    def jac(a: frozenset, b: frozenset) -> bool:
+        inter = len(a & b)
+        union = len(a) + len(b) - inter
+        return union > 0 and inter / union >= threshold
+
+    return first_wins_bucket_claim(
+        df, order_col, buckets, payload=payload, prepare=frozenset, verify=jac
+    )
 
 
 # ----------------------------------------------------------------- simhash
@@ -425,26 +595,30 @@ def dedup_simhash(
     max_hamming: int = 3,
     seed: int = 7,
 ) -> DataFrame:
-    """SimHash near-dedup: 4×16-bit band keys → candidates → native
-    bit_count(xor) hamming verify ≤ max_hamming → first-wins."""
-    sh = df.select(F.col(order_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("sh"))
+    """SimHash near-dedup: 4×16-bit band keys → bucket-claim resolve with
+    hamming ≤ max_hamming verify against kept rows (the simhash index
+    query semantics, simhash_deduplicator.py:70-85)."""
+    sh = df.select(
+        F.col(order_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("data")
+    ).localCheckpoint()
     band_exprs = [
         F.concat_ws(
             ":",
             F.lit(str(j)),
-            F.shiftrightunsigned("sh", j * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
+            F.shiftrightunsigned("data", j * 16).bitwiseAND(F.lit(0xFFFF)).cast("string"),
         )
         for j in range(4)
     ]
-    bands = sh.select("id", "sh", F.explode(F.array(*band_exprs)).alias("band"))
-    l, r = bands.alias("l"), bands.alias("r")
-    edges = (
-        l.join(r, (F.col("l.band") == F.col("r.band")) & (F.col("l.id") < F.col("r.id")))
-        .filter(F.bit_count(F.col("l.sh").bitwiseXOR(F.col("r.sh"))) <= max_hamming)
-        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
-        .distinct()
+    buckets = sh.select("id", F.explode(F.array(*band_exprs)).alias("band"))
+
+    mask = (1 << 64) - 1
+
+    def ham(a: int, b: int) -> bool:
+        return ((a ^ b) & mask).bit_count() <= max_hamming
+
+    return first_wins_bucket_claim(
+        df, order_col, buckets, payload=sh, prepare=int, verify=ham
     )
-    return apply_first_wins(df, order_col, edges)
 
 
 # --------------------------------------------------------- n-gram chunks
@@ -454,40 +628,25 @@ def dedup_ngram_chunks(
     df: DataFrame,
     order_col: str,
     text_col: str = "text",
-    n_chunks: int = 5,
-    diff_size: int = 2,
+    n_chunks: int = 3,
+    diff_size: int = 1,
 ) -> DataFrame:
-    """Chunk-hash near-dedup (ngramhash_deduplicator.py:10-85): split text
-    into ``n_chunks`` equal char chunks, md5 each; rows sharing >=
-    ``diff_size`` chunk hashes are duplicates; first-wins by order."""
+    """Chunk-hash near-dedup (ngramhash_deduplicator.py:75-85, defaults
+    n_gram=3/diff_size=1): split text into ``n_chunks`` chunks of
+    ``len(text)//n_chunks`` chars (trailing remainder dropped, exactly the
+    reference's slicing), md5 each into an UNORDERED hash set; a row is a
+    duplicate iff it shares >= ``diff_size`` distinct hashes with a kept
+    row, position-independent — shuffled-paragraph copies collide."""
     cc = F.coalesce(F.col(text_col), F.lit(""))
-    ln = F.length(cc)
-    step = F.greatest((ln / n_chunks).cast("int"), F.lit(1))
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-        lambda i: F.md5(F.substring(cc, i * step + 1, step)),
+    step = (F.length(cc) / n_chunks).cast("int")
+    chunks = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+            lambda i: F.md5(F.substring(cc, i * step + 1, step)),
+        )
     )
-    # positional chunk match: chunk i of one doc vs chunk i of another
-    tbl = df.select(
-        F.col(order_col).alias("id"), F.posexplode(chunks).alias("pos", "ch")
-    )
-    l, r = tbl.alias("l"), tbl.alias("r")
-    return apply_first_wins(
-        df,
-        order_col,
-        (
-            l.join(
-                r,
-                (F.col("l.ch") == F.col("r.ch"))
-                & (F.col("l.pos") == F.col("r.pos"))
-                & (F.col("l.id") < F.col("r.id")),
-            )
-            .groupBy(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
-            .agg(F.count("*").alias("overlap"))
-            .filter(F.col("overlap") >= diff_size)
-            .select("src", "dst")
-        ),
-    )
+    buckets = df.select(F.col(order_col).alias("id"), F.explode(chunks).alias("band"))
+    return first_wins_bucket_claim(df, order_col, buckets, min_shared=diff_size)
 
 
 # ------------------------------------------------------ embedding cosine
@@ -504,8 +663,8 @@ def dedup_embedding_cosine(
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dedup (sem_deduplicator.py:63-161 shape): candidates
-    via random-hyperplane LSH buckets, exact cosine verify JVM-side
-    (zip_with + aggregate — no Python in the verify), first-wins resolve."""
+    via random-hyperplane LSH buckets, exact cosine verify against kept
+    rows inside the per-component greedy scan, first-wins resolve."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
@@ -527,23 +686,20 @@ def dedup_embedding_cosine(
             keys.append(ks)
         return pd.Series(keys)
 
-    tbl = df.select(
+    buckets = df.select(
         F.col(order_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.explode(bucket_udf(F.col(vec_col))).alias("bk"),
+        F.explode(bucket_udf(F.col(vec_col))).alias("band"),
     )
-    l, r = tbl.alias("l"), tbl.alias("r")
-    dot = F.aggregate(
-        F.zip_with("l.v", "r.v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    payload = df.select(F.col(order_col).alias("id"), F.col(vec_col).alias("data"))
+
+    def unit(v) -> np.ndarray:
+        a = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(a)
+        return a / n if n > 0 else a
+
+    def cos(a: np.ndarray, b: np.ndarray) -> bool:
+        return float(a @ b) >= threshold
+
+    return first_wins_bucket_claim(
+        df, order_col, buckets, payload=payload, prepare=unit, verify=cos
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(f"{side}.v", lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x)
-    )
-    edges = (
-        l.join(r, (F.col("l.bk") == F.col("r.bk")) & (F.col("l.id") < F.col("r.id")))
-        .withColumn("cos", dot / (norm("l") * norm("r")))
-        .filter(F.col("cos") >= threshold)
-        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
-        .distinct()
-    )
-    return apply_first_wins(df, order_col, edges)

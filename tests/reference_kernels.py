@@ -149,17 +149,25 @@ def ccnet_dedup_keep(texts):
 
 # filter/minhash_deduplicator.py:47-86 — LSH first-wins: row kept iff no
 # band of its signature collides with a previously-kept row's band.
-def minhash_dedup_keep(texts, num_perm=128, bands=16, ngram=5, seed=1):
-    from dataflow_spark.operators.dedup import _MERSENNE, _rolling_byte_ngram_hashes
+# Raw-text shingles + datasketch-optimal banding for threshold=0.9, the
+# reference defaults (MinHashLSH(threshold=0.9, num_perm=128)).
+def minhash_dedup_keep(texts, num_perm=128, threshold=0.9, bands=None, ngram=5, seed=1):
+    from dataflow_spark.operators.dedup import (
+        _MERSENNE,
+        _rolling_byte_ngram_hashes,
+        optimal_band_param,
+    )
 
+    if bands is None:
+        bands, r = optimal_band_param(threshold, num_perm)
+    else:
+        r = num_perm // bands
     rng = np.random.RandomState(seed)
     a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64)
     b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
-    r = num_perm // bands
 
     def sig(t: str) -> np.ndarray:
-        norm = " ".join((t or "").lower().split())
-        hv = _rolling_byte_ngram_hashes(norm.encode("utf-8"), ngram)
+        hv = _rolling_byte_ngram_hashes((t or "").encode("utf-8"), ngram)
         if hv.size == 0:
             return np.zeros(num_perm, dtype=np.int64)
         m = (hv[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)

@@ -34,10 +34,13 @@ def test_minhash_first_wins(corpus_df, corpus_pdf):
 
 
 def test_minhash_drops_near_duplicates(spark):
-    base = "the quick brown fox jumps over the lazy dog " * 5
+    # long varied text so one small edit keeps shingle Jaccard >> 0.9
+    # (the reference's MinHashLSH threshold — tiny texts with a 10-char
+    # tail sit near 0.78 and are correctly NOT duplicates at 0.9)
+    base = " ".join(f"token{i} value{i * 7 % 13}" for i in range(60))
     rows = [
         (0, base),
-        (1, base + "extra tail"),  # near-dup of 0
+        (1, base + " tail"),  # near-dup of 0 (Jaccard ~0.99)
         (2, "completely different content about spark streaming engines " * 4),
     ]
     df = spark.createDataFrame(rows, "rid long, text string")
@@ -56,12 +59,23 @@ def test_simhash_transitive_chain(spark):
 
 
 def test_ngram_chunks(spark):
-    t1 = "0123456789" * 10
-    t2 = t1[:80] + "XXXXXXXXXXXXXXXXXXXX"  # shares 4/5 chunks
-    rows = [(0, t1), (1, t2), (2, "zzz " * 30)]
+    # 5 DISTINCT 20-char chunks (identical chunks collapse in the
+    # reference's hash SET: ngramhash_deduplicator.py:81-83)
+    t1 = "".join(chr(33 + (i * 7) % 90) for i in range(100))
+    t2 = t1[:80] + "X" * 20  # shares 4/5 distinct chunk hashes
+    chunks = [t1[i * 20 : (i + 1) * 20] for i in range(5)]
+    t3 = "".join(chunks[::-1])  # same chunk SET, shuffled order
+    rows = [(0, t1), (1, t2), (2, "zzz " * 30), (3, t3)]
     df = spark.createDataFrame(rows, "rid long, text string")
     kept = _kept_rids(D.dedup_ngram_chunks(df, "rid", n_chunks=5, diff_size=2))
+    # t2 shares 4 >= 2 hashes; t3 shares all 5 position-independently
     assert kept == [0, 2]
+
+    # repeated-chunk texts collapse to ONE distinct hash — below diff_size=2
+    r1 = "0123456789" * 10
+    r2 = r1[:80] + "X" * 20
+    df2 = spark.createDataFrame([(0, r1), (1, r2)], "rid long, text string")
+    assert _kept_rids(D.dedup_ngram_chunks(df2, "rid", n_chunks=5, diff_size=2)) == [0, 1]
 
 
 def test_ngram_jaccard_verifies(spark):
@@ -96,6 +110,44 @@ def test_embedding_cosine(spark):
         .collect()
     )
     assert kept == [0, 2]
+
+
+def test_component_path_equals_fast_path(spark, corpus_pdf):
+    """Forcing the label-prop component path (threshold=0) must give the
+    same keep-set as the single-task fast path — and both must equal the
+    sequential oracle."""
+    from dataflow_spark.operators.dedup import first_wins_bucket_claim, minhash_bucket_table
+    from tests import reference_kernels as RK
+
+    df = spark.createDataFrame(corpus_pdf)
+    buckets = minhash_bucket_table(df, "rid")
+    fast = _kept_rids(first_wins_bucket_claim(df, "rid", buckets))
+    dist = _kept_rids(
+        first_wins_bucket_claim(df, "rid", buckets, small_graph_threshold=0)
+    )
+    assert fast == dist
+    assert fast == _expected(corpus_pdf, RK.minhash_dedup_keep(corpus_pdf["text"].tolist()))
+
+
+def test_component_path_with_verify(spark):
+    """Verified family (simhash) through the distributed component path."""
+    a = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    rows = [(0, a), (1, a.replace("zeta", "zetaX")), (2, "unrelated words " * 10)]
+    df = spark.createDataFrame(rows, "rid long, text string")
+    import dataflow_spark.operators.dedup as D2
+
+    orig = D2.first_wins_bucket_claim
+
+    def forced(df_, id_col, buckets, **kw):
+        kw["small_graph_threshold"] = 0
+        return orig(df_, id_col, buckets, **kw)
+
+    D2.first_wins_bucket_claim = forced
+    try:
+        kept = _kept_rids(D2.dedup_simhash(df, "rid", max_hamming=6))
+    finally:
+        D2.first_wins_bucket_claim = orig
+    assert 0 in kept and 2 in kept
 
 
 def test_first_wins_respects_order_not_partitioning(spark, corpus_pdf):

@@ -88,7 +88,12 @@ def test_winnowing_properties(spark):
         (2, "totally unrelated content z z z"),
     ]
     df = spark.createDataFrame(rows, "rid long, text string")
-    out = {r.rid: r.f for r in df.select("rid", S.winnowing_udf()(F.col("text")).alias("f")).collect()}
+    out = {
+        r.rid: r.f
+        for r in df.select(
+            "rid", S.winnowing_fingerprints_native(F.col("text")).alias("f")
+        ).collect()
+    }
     assert out[0] == out[1]  # deterministic
     assert out[0] != out[2]
     assert all(isinstance(x, int) for x in out[0]) and len(out[0]) > 0

@@ -2,6 +2,7 @@
 sequential scan; exact dedup state is watermark-scoped."""
 
 import numpy as np
+import os
 import pandas as pd
 
 from dataflow_spark.datagen import make_transcripts
@@ -90,3 +91,72 @@ def test_dedup_exact_stream(spark, tmp_path):
     # one row per distinct text survives
     assert got["text"].fillna("").nunique() == len(got)
     assert len(got) == pdf["text"].fillna("").nunique()
+
+
+def test_crash_between_state_write_and_commit_loses_nothing(spark, tmp_path):
+    """Regression (round-1 advice, high): a crash AFTER the batch's bands
+    are staged but BEFORE the commit append must not drop the batch's
+    survivors on replay — per-batch state dirs are invisible until the
+    commit log references them."""
+    pdf = make_transcripts(400, seed=31)
+    pdf["rid"] = np.arange(len(pdf), dtype="int64")
+    df = spark.createDataFrame(pdf)
+    out: list[int] = []
+    d = StreamingFirstWinsDedup(
+        str(tmp_path / "state_crash"), order_col="rid",
+        downstream=lambda s, b: out.extend(r.rid for r in s.select("rid").collect()),
+    )
+
+    # simulate the crash: run the batch, then delete its commit record
+    d.process_batch(df, 0)
+    survivors_first = sorted(out)
+    assert survivors_first, "first delivery must be non-empty"
+    os.remove(d._commits)  # commit lost; staged bands/batch=0 remains
+
+    out.clear()
+    d.process_batch(df, 0)  # at-least-once replay
+    assert sorted(out) == survivors_first  # zero loss, identical keep-set
+
+
+def test_compaction_keepset_unchanged(spark, tmp_path):
+    pdf = make_transcripts(900, seed=32).reset_index(drop=True)
+    pdf["rid"] = np.arange(len(pdf), dtype="int64")
+    out: list[int] = []
+    d = StreamingFirstWinsDedup(
+        str(tmp_path / "state_c"), order_col="rid", ts_col="ts",
+        downstream=lambda s, b: out.extend(r.rid for r in s.select("rid").collect()),
+        compact_every=None,
+    )
+    for i in range(3):
+        d.process_batch(spark.createDataFrame(pdf.iloc[i * 300 : (i + 1) * 300]), i)
+    d.compact(spark)
+    assert d._compaction()["upto"] == 2
+    # per-batch dirs reclaimed, state served from the compacted dir only
+    assert len(d._state_dirs()) == 1
+    # new batch of pure duplicates must still be fully dropped
+    dup = pdf.iloc[:300].copy()
+    dup["rid"] = dup["rid"] + 10_000
+    n_before = len(out)
+    d.process_batch(spark.createDataFrame(dup), 3)
+    assert len(out) == n_before  # all duplicates of compacted keepers
+
+
+def test_compaction_retention_expires_old_state(spark, tmp_path):
+    pdf = make_transcripts(300, seed=33).reset_index(drop=True)
+    pdf["rid"] = np.arange(len(pdf), dtype="int64")
+    out: list[int] = []
+    d = StreamingFirstWinsDedup(
+        str(tmp_path / "state_r"), order_col="rid", ts_col="ts",
+        downstream=lambda s, b: out.extend(r.rid for r in s.select("rid").collect()),
+        compact_every=None,
+    )
+    d.process_batch(spark.createDataFrame(pdf), 0)
+    n_kept = len(out)
+    # retention horizon beyond every keeper's event time → state drains
+    horizon = int(pdf["ts"].astype("datetime64[us]").astype("int64").max()) + 1
+    d.compact(spark, retain_after_us=horizon)
+    dup = pdf.copy()
+    dup["rid"] = dup["rid"] + 10_000
+    d.process_batch(spark.createDataFrame(dup), 1)
+    # old keepers expired — the duplicates resurface as new keepers
+    assert len(out) == n_kept * 2
