@@ -238,6 +238,41 @@ def _k_stem(s: pd.Series) -> pd.Series:
     )
 
 
+# Deterministic Presidio-shaped PII redaction (reference
+# pii_anonymize_refiner.py:74-95 runs Presidio+BERT-NER — model-backed; this
+# stand-in is the regex-recognizer subset with the anonymizer's
+# <ENTITY_TYPE> replacement convention). Order matters: URL before EMAIL
+# (URLs may embed @), card/SSN/IP before PHONE (digit-run overlap).
+# Patterns are ASCII-only ([0-9], ASCII \b) so Java regex (Spark), RE2
+# (DuckDB oracle) and re.ASCII (kernel) agree byte-for-byte.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL_ADDRESS>"),
+    (r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "<CREDIT_CARD>"),
+    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<US_SSN>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP_ADDRESS>"),
+    (r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
+     "<PHONE_NUMBER>"),
+]
+
+_PII_COMPILED = [(re.compile(p, re.ASCII), rep) for p, rep in PII_PATTERNS]
+
+
+def _k_redact_pii(s: pd.Series) -> pd.Series:
+    def red(t: str) -> str:
+        for pat, rep in _PII_COMPILED:
+            t = pat.sub(rep, t)
+        return t
+
+    return s.map(red, na_action="ignore")
+
+
+def _n_redact_pii(c: Column) -> Column:
+    for p, rep in PII_PATTERNS:
+        c = F.regexp_replace(c, p, rep)
+    return c
+
+
 REFINERS: dict[str, Refiner] = {
     r.name: r
     for r in [
@@ -270,6 +305,9 @@ REFINERS: dict[str, Refiner] = {
                 "expand English contractions (pinned ordered list)"),
         Refiner("stem", _k_stem, None,
                 "Porter-stem each whitespace token (pure-Python algorithm)"),
+        Refiner("redact_pii", _k_redact_pii, _n_redact_pii,
+                "replace email/phone/card/SSN/IP/URL entities with "
+                "<ENTITY_TYPE> tags (Presidio regex-recognizer subset)"),
     ]
 }
 

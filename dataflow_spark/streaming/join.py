@@ -64,21 +64,71 @@ def join_user_responses(
     )
 
 
-def pair_first_response_batch(df: DataFrame, max_response_seconds: int = 300) -> DataFrame:
-    """Batch twin: the FIRST qualifying response per user turn."""
-    pairs = join_user_responses_batch(df, max_response_seconds)
-    return pairs.groupBy("conv_id", "user_turn_idx").agg(
-        F.min_by(
-            F.struct("resp_turn_idx", "resp_role", "resp_ts", "latency_us"),
-            F.col("resp_turn_idx"),
-        ).alias("m"),
-        F.min("user_ts").alias("user_ts"),
-    ).select(
-        "conv_id", "user_turn_idx", "user_ts",
-        F.col("m.resp_turn_idx").alias("resp_turn_idx"),
-        F.col("m.resp_role").alias("resp_role"),
-        F.col("m.resp_ts").alias("resp_ts"),
-        F.col("m.latency_us").alias("latency_us"),
+def pair_first_response_batch(
+    df: DataFrame, max_response_seconds: int = 300, exact: bool = False
+) -> DataFrame:
+    """Batch twin: the FIRST qualifying response per user turn.
+
+    Default plan is a single per-conv window pass (linear in conversation
+    size — the scale path; the all-pairs equi-join squares on a 100k-turn
+    conversation). The window derivation assumes event time is
+    non-decreasing in ``turn_idx`` within a conversation (true of real
+    transcripts): if the NEXT response is outside the latency bound, every
+    later one is too. Pass ``exact=True`` for the all-pairs join that
+    makes no ordering assumption."""
+    from pyspark.sql import Window
+
+    if exact:
+        pairs = join_user_responses_batch(df, max_response_seconds)
+        return pairs.groupBy("conv_id", "user_turn_idx").agg(
+            F.min_by(
+                F.struct("resp_turn_idx", "resp_role", "resp_ts", "latency_us"),
+                F.col("resp_turn_idx"),
+            ).alias("m"),
+            F.min("user_ts").alias("user_ts"),
+        ).select(
+            "conv_id", "user_turn_idx", "user_ts",
+            F.col("m.resp_turn_idx").alias("resp_turn_idx"),
+            F.col("m.resp_role").alias("resp_role"),
+            F.col("m.resp_ts").alias("resp_ts"),
+            F.col("m.latency_us").alias("latency_us"),
+        )
+
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = F.first(
+        F.when(
+            F.col("role").isin("assistant", "tool"),
+            F.struct("turn_idx", "role", "ts"),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    lat = F.unix_micros(F.col("nxt.ts").cast("timestamp")) - F.unix_micros(
+        F.col("ts").cast("timestamp")
+    )
+    return (
+        df.withColumn("nxt", nxt)
+        .filter(
+            (F.col("role") == "user")
+            & F.col("nxt").isNotNull()
+            & (F.col("nxt.ts") > F.col("ts"))
+            & (
+                F.col("nxt.ts")
+                <= F.col("ts") + F.expr(f"INTERVAL {max_response_seconds} SECONDS")
+            )
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("user_turn_idx"),
+            F.col("ts").alias("user_ts"),
+            F.col("nxt.turn_idx").alias("resp_turn_idx"),
+            F.col("nxt.role").alias("resp_role"),
+            F.col("nxt.ts").alias("resp_ts"),
+            lat.alias("latency_us"),
+        )
     )
 
 
