@@ -90,6 +90,15 @@ def _pii_oracle_expr() -> str:
 
 _REFINER_ORACLES["redact_pii"] = _pii_oracle_expr()
 
+
+def _lemma_oracle_expr() -> str:
+    from dataflow_spark.functions.lemmatizer import oracle_sql_expr
+
+    return oracle_sql_expr("text")
+
+
+_REFINER_ORACLES["lemmatize"] = _lemma_oracle_expr()
+
 # the emoji class is written in \x{...} syntax — valid in both Java regex
 # (Spark native) and RE2 (DuckDB)
 _REFINER_ORACLES["remove_emoji"] = (
@@ -828,6 +837,20 @@ def _q_split_sentences(spark, sf):
     return split_sentences(docs, chunk_size=200)
 
 
+def _q_split_tokens(spark, sf):
+    from dataflow_spark.operators.splitter import split_tokens
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return split_tokens(docs, chunk_size=48, overlap=8)
+
+
+def _q_split_recursive(spark, sf):
+    from dataflow_spark.operators.splitter import split_recursive
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return split_recursive(docs, chunk_size=120)
+
+
 def _q_bm25(spark, sf):
     from dataflow_spark.operators.retrieval import bm25_topk
 
@@ -871,8 +894,10 @@ def _q_bleu(spark, sf):
         (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref")
     )
     pairs = a.join(b, "doc_id")
+    # round 6 (not 9): BLEU chains exp/ln whose libm results may differ in
+    # the last ulps between the JVM/Python and DuckDB
     return pairs.select(
-        "doc_id", F.round(bleu_udf()(F.col("cand"), F.col("ref")), 9).alias("bleu")
+        "doc_id", F.round(bleu_udf()(F.col("cand"), F.col("ref")), 6).alias("bleu")
     )
 
 
@@ -978,6 +1003,51 @@ _EXTRA_ORACLES = {
                array_to_string(list_slice(toks, i*45 + 1, i*45 + 50), ' ') AS chunk
         FROM n, unnest(range(0, nc)) AS u(i)
         WHERE array_to_string(list_slice(toks, i*45 + 1, i*45 + 50), ' ') <> ''""",
+    "split_tokens": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS words
+          FROM documents),
+        p AS (
+          SELECT doc_id,
+                 flatten(list_transform(words, w ->
+                   list_transform(range(0, CAST(ceil(len(w) / 4.0) AS INT)),
+                     j -> CASE WHEN j = 0 THEN ' ' || substr(w, 1, 4)
+                               ELSE substr(w, j*4 + 1, 4) END))) AS pieces
+          FROM w),
+        c AS (
+          SELECT doc_id, pieces,
+                 greatest(CAST(ceil((len(pieces) - 8) / 40.0) AS INT), 1) AS nc
+          FROM p)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               trim(array_to_string(pieces[i*40 + 1 : i*40 + 48], '')) AS chunk
+        FROM c, unnest(range(0, nc)) AS u(i)
+        WHERE trim(array_to_string(pieces[i*40 + 1 : i*40 + 48], '')) <> ''""",
+    "split_recursive": """
+        WITH l1 AS (
+          SELECT doc_id, str_split_regex(coalesce(text,''), '\\n\\n') AS ps
+          FROM documents),
+        l2 AS (
+          SELECT doc_id, flatten(list_transform(ps, p ->
+                   CASE WHEN len(p) <= 120 THEN [p]
+                        ELSE str_split_regex(p, '\\n') END)) AS ps
+          FROM l1),
+        l3 AS (
+          SELECT doc_id, flatten(list_transform(ps, p ->
+                   CASE WHEN len(p) <= 120 THEN [p]
+                        ELSE regexp_extract_all(p, '[^.!?]*[.!?]+\\s*|[^.!?]+$') END)) AS ps
+          FROM l2),
+        l4 AS (
+          SELECT doc_id, flatten(list_transform(ps, p ->
+                   CASE WHEN len(p) <= 120 THEN [p]
+                        ELSE list_transform(range(0, CAST(ceil(len(p) / 120.0) AS INT)),
+                               i -> substr(p, i*120 + 1, 120)) END)) AS ps
+          FROM l3),
+        l5 AS (
+          SELECT doc_id, list_filter(ps, x -> trim(x) <> '') AS ps FROM l4)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx, ps[i + 1] AS chunk
+        FROM l5, unnest(range(0, len(ps))) AS u(i)""",
     "bm25_topk": f"""
         WITH doc_terms AS (
           SELECT doc_id, unnest(list_transform({_TOKS}, x -> lower(x))) AS term
@@ -1083,6 +1153,80 @@ _EXTRA_ORACLES = {
 }
 
 
+def _bleu_oracle_sql() -> str:
+    """Sentence BLEU-4 twin of eval_scorers.sentence_bleu: clipped multiset
+    n-gram matches, +1 smoothing for n>=2, brevity penalty, geometric mean
+    over achievable orders."""
+    grams = []
+    for n in range(1, 5):
+        grams.append(
+            f"list_transform(range(1, len(c) + 2 - {n}),"
+            f" i -> array_to_string(c[i:i+{n - 1}], ' ')) AS cg{n},"
+            f" list_transform(range(1, len(r) + 2 - {n}),"
+            f" i -> array_to_string(r[i:i+{n - 1}], ' ')) AS rg{n}"
+        )
+    matches = ", ".join(
+        f"coalesce(list_sum(list_transform(list_distinct(cg{n}), g ->"
+        f" least(len(list_filter(cg{n}, x -> x = g)),"
+        f" len(list_filter(rg{n}, x -> x = g))))), 0) AS m{n},"
+        f" len(cg{n}) AS t{n}"
+        for n in range(1, 5)
+    )
+    smooth = " + ".join(
+        f"CASE WHEN t{n} > 0 THEN ln((m{n} + 1) / CAST(t{n} + 1 AS DOUBLE)) ELSE 0 END"
+        for n in range(2, 5)
+    )
+    return f"""
+        WITH a AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS c
+          FROM documents),
+        b AS (
+          SELECT doc_id - 1 AS doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS r
+          FROM documents),
+        p AS (SELECT a.doc_id, c, r FROM a JOIN b USING (doc_id)),
+        g AS (SELECT doc_id, c, r, len(c) AS lc, len(r) AS lr,
+                     {", ".join(grams)}
+              FROM p),
+        m AS (SELECT doc_id, lc, lr, {matches} FROM g)
+        SELECT doc_id,
+               round(CASE
+                 WHEN lc = 0 OR lr = 0 OR m1 = 0 THEN 0.0
+                 ELSE (CASE WHEN lc > lr THEN 1.0
+                            ELSE exp(1 - lr / CAST(lc AS DOUBLE)) END)
+                      * exp((ln(m1 / CAST(t1 AS DOUBLE)) + {smooth})
+                            / least(4, lc))
+               END, 6) AS bleu
+        FROM m"""
+
+
+_EXTRA_ORACLES["bleu_score"] = _bleu_oracle_sql()
+
+_HDD_SQL = """
+    CASE WHEN len(toks) < 42 THEN 0.0 ELSE
+      list_sum(list_transform(
+        list_transform(list_distinct(toks),
+                       w -> len(list_filter(toks, x -> x = w))),
+        f -> (1.0 - CASE WHEN len(toks) - f >= 42 THEN
+                 list_aggregate(list_transform(range(0, 42),
+                   i -> (len(toks) - f - i) / CAST(len(toks) - i AS DOUBLE)),
+                   'product')
+               ELSE 0.0 END) / 42.0))
+    END"""
+
+_EXTRA_ORACLES["lexical_diversity_filter"] = f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    h AS (SELECT doc_id, text, {_HDD_SQL} AS hdd FROM t)
+    SELECT doc_id, text FROM h WHERE hdd >= 0.53 AND hdd <= 0.99"""
+
+
 # -------------------------------------------- stats / thin filters / generators
 
 def _q_text_stats(spark, sf):
@@ -1126,6 +1270,20 @@ def _q_ngram_filter(spark, sf):
     s = F.round(S.ngram_score_native(F.col("text")), 9)
     return docs.select("doc_id", s.alias("ngram_score")).filter(
         (F.col("ngram_score") >= 0.6) & (F.col("ngram_score") <= 1.0)
+    )
+
+
+def _q_lexdiv_filter(spark, sf):
+    """LexicalDiversityFilter (filter/lexical_diversity_filter.py shape):
+    keep documents whose HD-D diversity is in range. HDD is closed-form
+    (hypergeometric zero-draw product), so the DuckDB oracle replays the
+    identical IEEE op sequence."""
+    docs = _t(spark, sf, "documents")
+    res = S.lexical_diversity_udf()(F.col("text"))
+    return (
+        docs.select("doc_id", "text", res["hdd"].alias("hdd"))
+        .filter((F.col("hdd") >= 0.53) & (F.col("hdd") <= 0.99))
+        .select("doc_id", "text")
     )
 
 
@@ -1493,6 +1651,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "split_chars": _q_split_chars,
             "split_words": _q_split_words,
             "split_sentences": _q_split_sentences,
+            "split_tokens": _q_split_tokens,
+            "split_recursive": _q_split_recursive,
             "bm25_topk": _q_bm25,
             "f1_score": _q_f1,
             "bleu_score": _q_bleu,
@@ -1504,6 +1664,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pipeline_pt_chain": _q_pipeline_pt_chain,
             "text_stats": _q_text_stats,
             "language_filter": _q_language_filter,
+            "lexical_diversity_filter": _q_lexdiv_filter,
             "quality_filter": _q_quality_filter,
             "ngram_filter": _q_ngram_filter,
             "answer_formatter": _q_answer_formatter,
@@ -1519,6 +1680,12 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sketch_profile": _q_sketch_profile,
             "answer_extraction": _q_answer_extraction,
             "category_classify": _q_category_classify,
+            "refine_spelling": lambda spark, sf: _t(spark, sf, "documents").select(
+                "doc_id",
+                __import__(
+                    "dataflow_spark.functions.refiners", fromlist=["refiner_udf"]
+                ).refiner_udf("spelling")(F.col("text")).alias("text"),
+            ),
             "refine_stem": lambda spark, sf: _t(spark, sf, "documents").select(
                 "doc_id",
                 __import__(

@@ -273,6 +273,27 @@ def _n_redact_pii(c: Column) -> Column:
     return c
 
 
+def _k_lemmatize(s: pd.Series) -> pd.Series:
+    from dataflow_spark.functions.lemmatizer import kernel
+
+    return kernel(s)
+
+
+def _n_lemmatize(c: Column) -> Column:
+    from dataflow_spark.functions.lemmatizer import native
+
+    return native(c)
+
+
+def _k_spelling(s: pd.Series) -> pd.Series:
+    # reference SpellingCorrectionRefiner.spelling_checks
+    # (spelling_correction_refiner.py:86-94) — symspell lookup per token
+    from dataflow_spark.functions.spelling import correct_text, default_symspell
+
+    sym = default_symspell()  # built once per executor, reused across batches
+    return s.map(lambda t: correct_text(t, sym), na_action="ignore")
+
+
 REFINERS: dict[str, Refiner] = {
     r.name: r
     for r in [
@@ -308,6 +329,12 @@ REFINERS: dict[str, Refiner] = {
         Refiner("redact_pii", _k_redact_pii, _n_redact_pii,
                 "replace email/phone/card/SSN/IP/URL entities with "
                 "<ENTITY_TYPE> tags (Presidio regex-recognizer subset)"),
+        Refiner("lemmatize", _k_lemmatize, _n_lemmatize,
+                "WordNet-morphy-style noun lemmatization per token "
+                "(pinned suffix rules + irregular-plural table)"),
+        Refiner("spelling", _k_spelling, None,
+                "SymSpell CLOSEST-verbosity correction per lowercase token "
+                "(pinned frequency dictionary, deletes index, OSA verify)"),
     ]
 }
 

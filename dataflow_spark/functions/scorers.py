@@ -110,10 +110,14 @@ def hdd(toks: list[str], sample_size: int = 42) -> float:
 
     counts = Counter(toks)
     total = 0.0
-    denom = math.comb(n_tokens, sample_size)
     for freq in counts.values():
         if n_tokens - freq >= sample_size:
-            p_zero = math.comb(n_tokens - freq, sample_size) / denom
+            # P(X=0) = C(n-f, k)/C(n, k) as a left-to-right product of k
+            # double terms — the SAME IEEE op sequence the SQL oracle runs
+            # (list product), so thresholds compare bit-identically
+            p_zero = 1.0
+            for i in range(sample_size):
+                p_zero *= (n_tokens - freq - i) / (n_tokens - i)
         else:
             p_zero = 0.0
         total += (1.0 - p_zero) / sample_size

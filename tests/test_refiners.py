@@ -48,3 +48,72 @@ def test_null_text_stays_null(spark):
     for name in REFINERS:
         out = apply_refiner(df, name, mode="parity").select("text").first()[0]
         assert out is None, name
+
+
+def test_lemmatize_canonical(spark):
+    from dataflow_spark.functions.lemmatizer import lemmatize_text
+
+    cases = {
+        "children feet mice women data": "child foot mouse woman datum",
+        "boxes churches wishes quizzes": "box church wish quizz",
+        # 'ties' is len-4 so the ies-rule (len>=5) skips it; the final
+        # -s rule strips to 'tie'
+        "cities bodies ties": "city body tie",
+        "cats dogs glass bus analysis": "cat dog glass bus analysis",
+        "specimen gives says": "speciman give say",
+        "Hello WORLD 123 dogs,": "Hello WORLD 123 dogs,",
+    }
+    for src, want in cases.items():
+        got = lemmatize_text(src)
+        assert got == want, (src, got, want)
+
+    # native == kernel on the same inputs
+    from dataflow_spark.functions.refiners import REFINERS
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, text string")
+    both = df.select(
+        REFINERS["lemmatize"].native(F.col("text")).alias("n"),
+        REFINERS["lemmatize"].kernel is not None and F.lit(1).alias("x"),
+        F.col("text"),
+    ).collect()
+    import pandas as pd
+
+    kern = REFINERS["lemmatize"].kernel(pd.Series(list(cases))).tolist()
+    assert [r.n for r in both] == kern
+
+
+def test_spelling_canonical():
+    from dataflow_spark.functions.spelling import correct_text, default_symspell
+
+    s = default_symspell()
+    assert s.correct("teh") == "the"
+    assert s.correct("wrld") == "world"
+    assert s.correct("informaton") == "information"
+    assert s.correct("xyzzyq") == "xyzzyq"  # out of dictionary -> unchanged
+    assert s.correct("search") == "search"  # already correct
+    # transposition (OSA) within distance 2
+    assert s.correct("sserach") == "search"
+    # case/short/punctuated tokens pass through
+    assert correct_text("Teh teh a xy 42") == "Teh the a xy 42"
+
+
+def test_split_tokens_and_recursive_shapes(spark):
+    from dataflow_spark.operators.splitter import split_recursive, split_tokens
+
+    long_doc = ("word " * 300).strip()
+    paras = "short para.\n\n" + ("sentence one is here. " * 12) + "\n\n" + "x" * 300
+    df = spark.createDataFrame(
+        [(0, long_doc), (1, paras), (2, None), (3, "tiny")],
+        "doc_id long, text string",
+    )
+    tok = split_tokens(df, chunk_size=48, overlap=8).toPandas()
+    # overlap: consecutive chunks share text; chunks reconstruct words
+    assert (tok[tok.doc_id == 0].chunk.str.len() > 0).all()
+    assert tok[tok.doc_id == 3].chunk.tolist() == ["tiny"]
+    assert 2 not in set(tok.doc_id)
+
+    rec = split_recursive(df, chunk_size=120).toPandas()
+    assert (rec.chunk.str.len() <= 120).all()
+    assert rec[rec.doc_id == 1].chunk.iloc[0] == "short para."
+    assert rec[rec.doc_id == 3].chunk.tolist() == ["tiny"]
