@@ -99,6 +99,19 @@ def _lemma_oracle_expr() -> str:
 
 _REFINER_ORACLES["lemmatize"] = _lemma_oracle_expr()
 
+
+def _ner_oracle_expr() -> str:
+    from dataflow_spark.functions.refiners import NER_PATTERNS
+
+    expr = "text"
+    for pat, rep in NER_PATTERNS:
+        pat_sql = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{pat_sql}', '{rep}', 'g')"
+    return expr
+
+
+_REFINER_ORACLES["ner_mask"] = _ner_oracle_expr()
+
 # the emoji class is written in \x{...} syntax — valid in both Java regex
 # (Spark native) and RE2 (DuckDB)
 _REFINER_ORACLES["remove_emoji"] = (
@@ -851,6 +864,27 @@ def _q_split_recursive(spark, sf):
     return split_recursive(docs, chunk_size=120)
 
 
+def _q_split_semantic(spark, sf):
+    from dataflow_spark.operators.splitter import split_semantic
+
+    # the synthetic docs carry no sentence punctuation — derive a
+    # sentence-punctuated twin (a period after every 10 words) so the
+    # cohesion splitter has real sentence boundaries to score
+    docs = _t(spark, sf, "documents")
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    sents = F.transform(
+        F.sequence(F.lit(0), F.ceil(F.size(words) / F.lit(10)).cast("int") - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, F.lit(10)), " "),
+    )
+    docs = docs.select(
+        "doc_id", F.concat(F.array_join(sents, ". "), F.lit(".")).alias("text")
+    ).filter(F.size(words) > 0)
+    return split_semantic(docs, threshold=0.3)
+
+
 def _q_bm25(spark, sf):
     from dataflow_spark.operators.retrieval import bm25_topk
 
@@ -1048,6 +1082,53 @@ _EXTRA_ORACLES = {
           SELECT doc_id, list_filter(ps, x -> trim(x) <> '') AS ps FROM l4)
         SELECT doc_id, CAST(i AS INT) AS chunk_idx, ps[i + 1] AS chunk
         FROM l5, unnest(range(0, len(ps))) AS u(i)""",
+
+    "split_semantic": """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS words
+          FROM documents),
+        d AS (
+          SELECT doc_id,
+                 array_to_string(list_transform(
+                   range(0, CAST(ceil(len(words) / 10.0) AS BIGINT)),
+                   i -> array_to_string(words[i*10+1 : i*10+10], ' ')), '. ')
+                 || '.' AS text
+          FROM w WHERE len(words) > 0),
+        s AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text,''), '[^.!?]*[.!?]+\\s*|[^.!?]+$') AS ss
+          FROM d),
+        t AS (
+          SELECT doc_id, ss,
+                 list_transform(ss, x -> list_distinct(list_filter(
+                   regexp_split_to_array(lower(x), '\\s+'), y -> y <> ''))) AS tk
+          FROM s),
+        f AS (
+          SELECT doc_id, ss,
+                 list_transform(range(1, len(ss) + 1), i ->
+                   CASE WHEN i = 1 THEN 0
+                        WHEN (CASE WHEN len(list_distinct(tk[i-1] || tk[i])) > 0
+                              THEN len(list_intersect(tk[i-1], tk[i]))
+                                   / CAST(len(list_distinct(tk[i-1] || tk[i])) AS DOUBLE)
+                              ELSE 0.0 END) < 0.3 THEN 1 ELSE 0 END) AS fl
+          FROM t),
+        c AS (
+          SELECT doc_id, ss,
+                 list_transform(range(1, len(ss) + 1), i -> list_sum(fl[1:i])) AS cid
+          FROM f),
+        ch AS (
+          SELECT doc_id,
+                 CASE WHEN len(ss) = 0 THEN [] ELSE
+                   list_transform(range(0, CAST(cid[-1] + 1 AS BIGINT)), c -> array_to_string(
+                     list_transform(range(1, len(ss) + 1),
+                       i -> CASE WHEN cid[i] = c THEN ss[i] ELSE '' END), ''))
+                 END AS chunks
+          FROM c)
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx, chunks[i + 1] AS chunk
+        FROM ch, unnest(range(0, len(chunks))) AS u(i)
+        WHERE trim(chunks[i + 1]) <> ''""",
     "bm25_topk": f"""
         WITH doc_terms AS (
           SELECT doc_id, unnest(list_transform({_TOKS}, x -> lower(x))) AS term
@@ -1285,6 +1366,29 @@ def _q_lexdiv_filter(spark, sf):
         .filter((F.col("hdd") >= 0.53) & (F.col("hdd") <= 0.99))
         .select("doc_id", "text")
     )
+
+
+def _q_pii_filter(spark, sf):
+    """PresidioFilter shape (general_text/filter/presidio_filter.py: keep
+    rows whose detected-PII count is below threshold) — deterministic
+    stand-in: keep documents with ZERO regex-recognizer PII entities,
+    sharing PII_PATTERNS with the redact_pii refiner."""
+    from dataflow_spark.functions.refiners import PII_PATTERNS
+
+    docs = _t(spark, sf, "documents")
+    cond = F.lit(True)
+    for pat, _rep in PII_PATTERNS:
+        cond = cond & ~F.coalesce(F.col("text"), F.lit("")).rlike(pat)
+    return docs.select("doc_id", "text").filter(cond)
+
+
+def _pii_filter_oracle() -> str:
+    from dataflow_spark.functions.refiners import PII_PATTERNS
+
+    conds = " AND ".join(
+        f"NOT regexp_matches(coalesce(text, ''), '{pat}')" for pat, _ in PII_PATTERNS
+    )
+    return f"SELECT doc_id, text FROM documents WHERE {conds}"
 
 
 def _q_answer_formatter(spark, sf):
@@ -1653,6 +1757,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "split_sentences": _q_split_sentences,
             "split_tokens": _q_split_tokens,
             "split_recursive": _q_split_recursive,
+            "split_semantic": _q_split_semantic,
             "bm25_topk": _q_bm25,
             "f1_score": _q_f1,
             "bleu_score": _q_bleu,
@@ -1665,6 +1770,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_stats": _q_text_stats,
             "language_filter": _q_language_filter,
             "lexical_diversity_filter": _q_lexdiv_filter,
+            "pii_filter": _q_pii_filter,
             "quality_filter": _q_quality_filter,
             "ngram_filter": _q_ngram_filter,
             "answer_formatter": _q_answer_formatter,
@@ -1724,10 +1830,13 @@ def build_oracles() -> dict[str, str]:
     o.update(_ANN_ORACLES)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
+    o["pii_filter"] = _pii_filter_oracle()
     o.update(_STATS_ORACLES)
     # no oracle (driver rows-only check): dedup_minhash_lsh, dedup_simhash,
-    # dedup_ngram_chunks, dedup_embedding_cosine (order-dependent first-wins
-    # is not SQL-expressible), score_lexical_diversity (iterative MTLD/HDD),
-    # score_winnowing, ann_topk_lsh (approximate), multimodal_features
-    # (synthesized binary input).
+    # dedup_ngram_chunks, dedup_ngram_jaccard, dedup_embedding_cosine
+    # (order-dependent first-wins is not SQL-expressible — pytest parity vs
+    # sequential reference kernels instead), score_lexical_diversity
+    # (iterative MTLD), refine_spelling / refine_stem (procedural SymSpell /
+    # Porter — canonical-example tests), ann_topk_lsh (approximate),
+    # multimodal_features (synthesized binary input), split_sentences.
     return o

@@ -257,6 +257,51 @@ PII_PATTERNS: list[tuple[str, str]] = [
 
 _PII_COMPILED = [(re.compile(p, re.ASCII), rep) for p, rep in PII_PATTERNS]
 
+# Deterministic NERRefiner stand-in (reference ner_refiner.py:78-92 masks
+# spaCy entities with [LABEL] tags — model-backed; this pins the
+# rule-recognizable subset: shaped entities by regex, GPE/PERSON by exact
+# pinned gazetteers). Order: DATE before TIME/CARDINAL-ish overlaps,
+# MONEY/PERCENT before bare numbers would ever be considered.
+_MONTHS = (
+    "January|February|March|April|May|June|July|August|September|October|"
+    "November|December"
+)
+_GPE = (
+    "United States|United Kingdom|New York|Germany|France|Spain|China|"
+    "Japan|India|Brazil|Canada|Australia|London|Paris|Berlin|Madrid|"
+    "Tokyo|Beijing|Europe|America|California|Texas"
+)
+_PERSON = (
+    "Alice|Bob|Charlie|David|Emma|Frank|Grace|Henry|John|Mary|Michael|"
+    "Sarah|James|Linda|Robert|Patricia"
+)
+NER_PATTERNS: list[tuple[str, str]] = [
+    (rf"\b(?:{_MONTHS}) [0-9]{{1,2}}, [0-9]{{4}}\b", "[DATE]"),
+    (r"\b[0-9]{4}-[0-9]{2}-[0-9]{2}\b", "[DATE]"),
+    (r"\b[0-9]{1,2}:[0-9]{2}(?::[0-9]{2})?\b", "[TIME]"),
+    (r"\$[0-9]+(?:\.[0-9]+)?\b", "[MONEY]"),
+    (r"\b[0-9]+(?:\.[0-9]+)?%", "[PERCENT]"),
+    (rf"\b(?:{_GPE})\b", "[GPE]"),
+    (rf"\b(?:{_PERSON})\b", "[PERSON]"),
+]
+
+_NER_COMPILED = [(re.compile(p, re.ASCII), rep) for p, rep in NER_PATTERNS]
+
+
+def _k_ner_mask(s: pd.Series) -> pd.Series:
+    def mask(t: str) -> str:
+        for pat, rep in _NER_COMPILED:
+            t = pat.sub(rep, t)
+        return t
+
+    return s.map(mask, na_action="ignore")
+
+
+def _n_ner_mask(c: Column) -> Column:
+    for p, rep in NER_PATTERNS:
+        c = F.regexp_replace(c, p, rep)
+    return c
+
 
 def _k_redact_pii(s: pd.Series) -> pd.Series:
     def red(t: str) -> str:
@@ -329,6 +374,9 @@ REFINERS: dict[str, Refiner] = {
         Refiner("redact_pii", _k_redact_pii, _n_redact_pii,
                 "replace email/phone/card/SSN/IP/URL entities with "
                 "<ENTITY_TYPE> tags (Presidio regex-recognizer subset)"),
+        Refiner("ner_mask", _k_ner_mask, _n_ner_mask,
+                "mask rule-recognizable entities (DATE/TIME/MONEY/PERCENT/"
+                "GPE/PERSON gazetteer) with [LABEL] tags"),
         Refiner("lemmatize", _k_lemmatize, _n_lemmatize,
                 "WordNet-morphy-style noun lemmatization per token "
                 "(pinned suffix rules + irregular-plural table)"),

@@ -230,3 +230,81 @@ def split_recursive(
     chunks = F.filter(final, lambda x: F.trim(x) != "")
     out = df.select(*df.columns, F.posexplode(chunks).alias("chunk_idx", "chunk"))
     return out.drop(text_col)
+
+
+def split_semantic(
+    df: DataFrame,
+    text_col: str = "text",
+    threshold: float = 0.15,
+) -> DataFrame:
+    """SemanticChunker twin (corpus_text_splitter.py:66-69 — chonkie
+    SemanticChunker groups adjacent sentences while embedding similarity
+    stays high; embeddings are model-backed, so the DETERMINISTIC stand-in
+    measures lexical cohesion instead): split between adjacent sentences
+    whose token-set Jaccard similarity drops below ``threshold``.
+
+    Closed-form (boundary flags -> prefix-sum chunk ids -> per-chunk
+    concat), fully Catalyst-native and SQL-expressible — no sequential
+    fold, no Python."""
+    cc = F.coalesce(F.col(text_col), F.lit(""))
+    sents = F.regexp_extract_all(cc, F.lit(SENT_EXTRACT_REGEX), F.lit(0))
+
+    def over_sents(ss):
+        toksets = F.transform(
+            ss,
+            lambda s: F.array_distinct(
+                F.filter(F.split(F.lower(s), r"\s+"), lambda x: x != "")
+            ),
+        )
+
+        def over_toks(tk):
+            n = F.size(tk)
+
+            def jac(i):  # similarity between sentence i-1 and i (1-based)
+                inter = F.size(F.array_intersect(
+                    F.element_at(tk, i - 1), F.element_at(tk, i)))
+                uni = F.size(F.array_union(
+                    F.element_at(tk, i - 1), F.element_at(tk, i)))
+                return F.when(uni > 0, inter / uni).otherwise(F.lit(0.0))
+
+            flags = F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.when(i == 1, F.lit(0))
+                .when(jac(i) < threshold, F.lit(1))
+                .otherwise(F.lit(0)),
+            )
+
+            def over_flags(fl):
+                ids = F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.aggregate(
+                        F.slice(fl, 1, i), F.lit(0), lambda a, x: a + x
+                    ),
+                )
+
+                def over_ids(cid):
+                    n_chunks = F.element_at(cid, -1) + 1
+                    return F.transform(
+                        F.sequence(F.lit(0), n_chunks - 1),
+                        lambda c: F.array_join(
+                            F.transform(
+                                F.sequence(F.lit(1), n),
+                                lambda i: F.when(
+                                    F.element_at(cid, i) == c, F.element_at(ss, i)
+                                ).otherwise(F.lit("")),
+                            ),
+                            "",
+                        ),
+                    )
+
+                return _bind(ids, over_ids)
+
+            return _bind(flags, over_flags)
+
+        return F.when(F.size(ss) == 0, F.array().cast("array<string>")).otherwise(
+            _bind(toksets, over_toks)
+        )
+
+    chunks = _bind(sents, over_sents)
+    out = df.select(*df.columns, F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    return out.filter(F.trim(F.col("chunk")) != "").drop(text_col)

@@ -39,7 +39,14 @@ def _build() -> dict[str, Callable]:
     from dataflow_spark.operators.retrieval import bm25_topk
     from dataflow_spark.operators.selection import select_diverse
     from dataflow_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
-    from dataflow_spark.operators.splitter import split_chars, split_sentences, split_words
+    from dataflow_spark.operators.splitter import (
+        split_chars,
+        split_recursive,
+        split_semantic,
+        split_sentences,
+        split_tokens,
+        split_words,
+    )
 
     reg: dict[str, Callable] = {}
     for name in REFINERS:
@@ -52,10 +59,14 @@ def _build() -> dict[str, Callable]:
             "dedup.minhash": D.dedup_minhash,
             "dedup.simhash": D.dedup_simhash,
             "dedup.ngram_chunks": D.dedup_ngram_chunks,
+            "dedup.ngram_jaccard": D.dedup_ngram_jaccard,
             "dedup.embedding_cosine": D.dedup_embedding_cosine,
             "split.chars": split_chars,
             "split.words": split_words,
             "split.sentences": split_sentences,
+            "split.tokens": split_tokens,
+            "split.recursive": split_recursive,
+            "split.semantic": split_semantic,
             "retrieve.bm25": bm25_topk,
             "ann.bruteforce": ann_topk_bruteforce,
             "ann.lsh": ann_topk_lsh,

@@ -117,3 +117,37 @@ def test_split_tokens_and_recursive_shapes(spark):
     assert (rec.chunk.str.len() <= 120).all()
     assert rec[rec.doc_id == 1].chunk.iloc[0] == "short para."
     assert rec[rec.doc_id == 3].chunk.tolist() == ["tiny"]
+
+
+def test_ner_mask_canonical(spark):
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.refiners import REFINERS
+
+    src = "John visited Paris on January 5, 2020 at 12:30 spending $45.50 (12% off)"
+    want = ("[PERSON] visited [GPE] on [DATE] at [TIME] spending [MONEY] "
+            "([PERCENT] off)")
+    import pandas as pd
+
+    r = REFINERS["ner_mask"]
+    assert r.kernel(pd.Series([src])).iloc[0] == want
+    df = spark.createDataFrame([(src,)], "text string")
+    assert df.select(r.native(F.col("text")).alias("t")).first().t == want
+
+
+def test_split_semantic_groups_cohesive_sentences(spark):
+    from dataflow_spark.operators.splitter import split_semantic
+
+    text = (
+        "the cat sat on the mat. the cat ate the mat food. "
+        "quantum physics involves entangled particles. "
+        "entangled particles defy quantum locality."
+    )
+    df = spark.createDataFrame([(0, text), (1, None), (2, "one sentence.")],
+                               "doc_id long, text string")
+    out = split_semantic(df, threshold=0.15).toPandas()
+    c0 = out[out.doc_id == 0].sort_values("chunk_idx").chunk.tolist()
+    assert len(c0) == 2  # topic shift splits cat-chunk from quantum-chunk
+    assert "cat" in c0[0] and "quantum" in c0[1]
+    assert out[out.doc_id == 2].chunk.tolist() == ["one sentence."]
+    assert 1 not in set(out.doc_id)

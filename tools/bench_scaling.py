@@ -46,8 +46,12 @@ def run_at(cores: int, turns: int, zpath: str) -> dict:
         # builder-set driver memory is ignored under spark-submit — the
         # default 1g OOMs on the multi-million-turn legs
         "--driver-memory", os.environ.get("DFS_DRIVER_MEM", "16g"),
-        "--conf", f"spark.sql.shuffle.partitions={2 * cores}",
-        "--conf", f"spark.default.parallelism={2 * cores}",
+        # partition count is a property of the DATA/job, not the cluster
+        # size (a real 4N-executor cluster reads the same table with the
+        # same partitioning) — pinning it makes the two legs run literally
+        # identical plans and equal per-partition fixed costs
+        "--conf", f"spark.sql.shuffle.partitions={os.environ.get('DFS_SHUFFLE_PARTS', '64')}",
+        "--conf", f"spark.default.parallelism={os.environ.get('DFS_SHUFFLE_PARTS', '64')}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         "--py-files", zpath,

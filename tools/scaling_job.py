@@ -46,7 +46,14 @@ def main() -> None:
 
     spark = get_spark("dfs-scaling-job")
     spark.sparkContext.setLogLevel("ERROR")
-    cores = spark.sparkContext.defaultParallelism
+    # report the actual executor-thread count (master local[N]), not
+    # defaultParallelism — the latter is pinned per-job, not per-cluster
+    master = spark.sparkContext.master
+    cores = (
+        int(master.split("[")[1].rstrip("]"))
+        if "[" in master and master.split("[")[1].rstrip("]").isdigit()
+        else spark.sparkContext.defaultParallelism
+    )
 
     # deterministic input, written once per (turns, files) signature
     data_dir = args.data_dir or os.path.join(
@@ -72,6 +79,33 @@ def main() -> None:
 
     # warm-up (JVM/codegen), small slice
     spark.read.parquet(data_dir).limit(10_000).count()
+
+    # warm the Python workers too (imports of pandas/pyarrow dominate the
+    # first stateful micro-batch otherwise — a per-process one-time cost
+    # that would be amortized over days on a real cluster, exactly like
+    # the JVM codegen warmup above): run the stateful assembly operator
+    # over a tiny slice so every worker process exists and has imported
+    from dataflow_spark.streaming.assembly import assemble_conversations
+
+    warm_dir = tempfile.mkdtemp(prefix="dfs_scale_warm_")
+    spark.read.parquet(data_dir).limit(5_000).write.mode("overwrite").parquet(
+        os.path.join(warm_dir, "data")
+    )
+    wck = tempfile.mkdtemp(prefix="dfs_scale_wck_")
+    wq = (
+        assemble_conversations(
+            file_stream(spark, os.path.join(warm_dir, "data")),
+            gap_seconds=600,
+            watermark="2 minutes",
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", wck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    wq.awaitTermination()
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    shutil.rmtree(wck, ignore_errors=True)
 
     # ---- batch mode
     t0 = time.time()
@@ -109,8 +143,6 @@ def main() -> None:
     shutil.rmtree(ck, ignore_errors=True)
 
     # ---- stateful mode: session-window conversation assembly
-    from dataflow_spark.streaming.assembly import assemble_conversations
-
     ck2 = tempfile.mkdtemp(prefix="dfs_scale_ck2_")
     t0 = time.time()
     aq = (
