@@ -163,14 +163,15 @@ def minhash_dedup_keep(texts, num_perm=128, threshold=0.9, bands=None, ngram=5, 
     else:
         r = num_perm // bands
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64)
+    a = (rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64) | np.uint64(1))
     b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
 
     def sig(t: str) -> np.ndarray:
         hv = _rolling_byte_ngram_hashes((t or "").encode("utf-8"), ngram)
         if hv.size == 0:
             return np.zeros(num_perm, dtype=np.int64)
-        m = (hv[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
+        with np.errstate(over="ignore"):  # multiply-shift: mod-2^64 wrap
+            m = hv[:, None] * a[None, :] + b[None, :]
         return m.min(axis=0).astype(np.int64)
 
     index: dict = {}
