@@ -21,6 +21,8 @@ HEADLINE = [
     "top_orders_per_segment",
     "pipeline_pt_chain",
     "bm25_topk",
+    "dedup_minhash_lsh",
+    "split_semantic",
 ]
 
 
