@@ -52,6 +52,22 @@ class KeyedMergeSink:
         with open(self._commits_path) as f:
             return {json.loads(line)["batch_id"] for line in f if line.strip()}
 
+    @staticmethod
+    def _footer_partition_counts(parquet_dir: str) -> dict[str, int]:
+        """partition-id → row count from part-file footers (metadata-only;
+        'part-00007-...' file index == spark partition id)."""
+        import pyarrow.parquet as pq
+
+        counts: dict[str, int] = {}
+        for name in os.listdir(parquet_dir):
+            if not name.startswith("part-") or not name.endswith(".parquet"):
+                continue
+            pid = str(int(name.split("-")[1]))
+            n = pq.ParquetFile(os.path.join(parquet_dir, name)).metadata.num_rows
+            if n:
+                counts[pid] = counts.get(pid, 0) + n
+        return counts
+
     def foreach_batch(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self.committed_batches():
             # replay after restart — already durable, exactly-once no-op
@@ -64,14 +80,10 @@ class KeyedMergeSink:
             "__part_id", F.spark_partition_id()
         )
         out.write.mode("overwrite").parquet(tmp)
-        # per-partition lineage from the just-written files (no second
-        # computation of the batch)
-        spark = df.sparkSession
-        written = spark.read.parquet(tmp)
-        part_counts = {
-            str(r["__part_id"]): r["n"]
-            for r in written.groupBy("__part_id").agg(F.count("*").alias("n")).collect()
-        }
+        # per-partition lineage from the written parquet FOOTERS — pure
+        # metadata, no second scan of the batch (task part-files map 1:1 to
+        # spark partitions; footer carries the row count)
+        part_counts = self._footer_partition_counts(tmp)
         n_rows = sum(part_counts.values())
         if os.path.exists(final):
             # crashed between rename and commit append on a previous run
