@@ -935,6 +935,33 @@ def _q_bleu(spark, sf):
     )
 
 
+def _q_bertscore(spark, sf):
+    """BERTScorer shape (eval/gen stand-in): greedy-matched hashed-embedding
+    P/R/F between adjacent documents (rows-only — RNG embeddings are not
+    SQL-expressible; pytest checks vs a plain-python twin)."""
+    from dataflow_spark.functions.eval_scorers import bertscore_udf
+
+    a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("cand"))
+    b = _t(spark, sf, "documents").select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref")
+    )
+    res = bertscore_udf()(F.col("cand"), F.col("ref"))
+    return a.join(b, "doc_id").select(
+        "doc_id",
+        F.round(res["precision"], 6).alias("precision"),
+        F.round(res["recall"], 6).alias("recall"),
+        F.round(res["f1"], 6).alias("f1"),
+    )
+
+
+def _q_task2vec_diversity(spark, sf):
+    """Task2VecScorer shape: corpus diversity coefficient via the
+    closed-form unit-vector reduction (one aggregation, no pairwise)."""
+    from dataflow_spark.functions.eval_scorers import task2vec_diversity
+
+    return task2vec_diversity(_t(spark, sf, "documents"))
+
+
 def _q_token_stats(spark, sf):
     docs = _t(spark, sf, "documents")
     toks = F.size(
@@ -1762,6 +1789,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "f1_score": _q_f1,
             "bleu_score": _q_bleu,
             "cider_score": _q_cider,
+            "bertscore": _q_bertscore,
+            "task2vec_diversity": _q_task2vec_diversity,
             "token_stats": _q_token_stats,
             "category_info": _q_category_info,
             "answer_ngram_filter": _q_answer_ngram_filter,

@@ -225,3 +225,107 @@ def bleu_udf():
         )
 
     return _udf
+
+
+# ------------------------------------------------- BERTScore / Task2Vec Δ
+
+def _token_embedding_matrix(tokens: list[str], dim: int = 64):
+    """Deterministic per-token unit embeddings: each token's vector is
+    drawn from a RandomState seeded by its blake2-derived 32-bit hash.
+    The model seam for BERTScorer/Task2VecScorer (both reference scorers
+    run transformer encoders — eval/gen/bertscore_scorer.py,
+    eval/statistics/task2vec_scorer.py); swap this function for real
+    encoder outputs to recover the reference metrics. Deterministic,
+    pinned, and identical across executors."""
+    import hashlib
+
+    import numpy as np
+
+    if not tokens:
+        return np.zeros((0, dim))
+    vecs = np.empty((len(tokens), dim))
+    for i, t in enumerate(tokens):
+        seed = int.from_bytes(
+            hashlib.blake2s(t.encode("utf-8"), digest_size=4).digest(), "big"
+        )
+        vecs[i] = np.random.RandomState(seed).normal(size=dim)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    return vecs
+
+
+def bertscore(candidate: str, reference: str, dim: int = 64) -> tuple[float, float, float]:
+    """BERTScore-shaped greedy matching (Zhang et al., ICLR'20) over the
+    deterministic hashed embeddings: P = mean over candidate tokens of the
+    best cosine against any reference token, R symmetric, F harmonic."""
+    c = _token_embedding_matrix((candidate or "").lower().split(), dim)
+    r = _token_embedding_matrix((reference or "").lower().split(), dim)
+    if not len(c) or not len(r):
+        return (0.0, 0.0, 0.0)
+    sim = c @ r.T
+    p = float(sim.max(axis=1).mean())
+    rr = float(sim.max(axis=0).mean())
+    f = 2 * p * rr / (p + rr) if p + rr > 0 else 0.0
+    return (p, rr, f)
+
+
+def bertscore_udf(dim: int = 64):
+    schema = T.StructType(
+        [
+            T.StructField("precision", T.DoubleType()),
+            T.StructField("recall", T.DoubleType()),
+            T.StructField("f1", T.DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _udf(cand: pd.Series, ref: pd.Series) -> pd.DataFrame:
+        rows = [bertscore(c, r, dim) for c, r in zip(cand.fillna(""), ref.fillna(""))]
+        return pd.DataFrame(rows, columns=["precision", "recall", "f1"])
+
+    return _udf
+
+
+def doc_embedding_udf(dim: int = 64):
+    """text → unit mean-token embedding (the Task2Vec per-sample vector)."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        def emb(v: str):
+            m = _token_embedding_matrix(v.lower().split(), dim)
+            if not len(m):
+                return [0.0] * dim
+            u = m.mean(axis=0)
+            n = np.linalg.norm(u)
+            return (u / n if n > 0 else u).tolist()
+
+        return s.fillna("").map(emb)
+
+    return _udf
+
+
+def task2vec_diversity(df, text_col: str = "text", dim: int = 64):
+    """Task2Vec diversity coefficient stand-in (Miranda et al.'22 shape:
+    1 - mean pairwise cosine of per-sample task embeddings). With unit
+    vectors, mean pairwise cosine = (||Σv||² - n) / (n(n-1)) — so the
+    whole corpus reduces to ONE d-dim vector sum + a count: a single
+    map-side-combinable aggregation, no pairwise join, exact at any scale."""
+    # tokenless docs would contribute zero (non-unit) vectors and bias the
+    # closed form — they carry no task signal, drop them
+    emb = df.filter(F.coalesce(F.col(text_col), F.lit("")).rlike(r"\S")).select(
+        doc_embedding_udf(dim)(F.col(text_col)).alias("v")
+    )
+    agg = emb.select(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.element_at("v", i + 1)).alias(f"s{i}") for i in range(dim)],
+    )
+    sumsq = sum(F.col(f"s{i}") * F.col(f"s{i}") for i in range(dim))
+    return agg.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.when(
+            F.col("n") > 1,
+            F.round(1.0 - (sumsq - F.col("n")) / (F.col("n") * (F.col("n") - 1)), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("diversity"),
+    )

@@ -54,3 +54,43 @@ def test_vendi_score_bounds(spark):
         pd.DataFrame({"embedding": [list(np.eye(d)[i % d]) for i in range(n)]})
     )
     assert vendi_score(eye) == pytest.approx(d, abs=1e-6)
+
+
+def test_bertscore_and_task2vec(spark):
+    import numpy as np
+
+    from dataflow_spark.functions.eval_scorers import (
+        _token_embedding_matrix,
+        bertscore,
+        bertscore_udf,
+        task2vec_diversity,
+    )
+    from pyspark.sql import functions as F
+
+    # identical strings score 1.0 on all three components
+    p, r, f = bertscore("the quick fox", "the quick fox")
+    assert abs(p - 1) < 1e-9 and abs(r - 1) < 1e-9 and abs(f - 1) < 1e-9
+    # disjoint vocab scores low
+    _, _, f2 = bertscore("alpha beta gamma", "delta epsilon zeta")
+    assert f2 < 0.5
+    # Spark UDF == plain python
+    df = spark.createDataFrame(
+        [(0, "the quick fox", "the quick brown fox")], "i long, c string, r string"
+    )
+    got = df.select(bertscore_udf()(F.col("c"), F.col("r")).alias("s")).first().s
+    exp = bertscore("the quick fox", "the quick brown fox")
+    assert abs(got.f1 - exp[2]) < 1e-9
+
+    # diversity: closed form equals explicit pairwise mean on a small set
+    texts = ["aa bb cc", "aa bb cc", "xx yy zz", "mm nn oo pp", "aa xx mm"]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string")
+    got_div = task2vec_diversity(sdf).first()
+    vecs = []
+    for t in texts:
+        m = _token_embedding_matrix(t.split())
+        u = m.mean(axis=0)
+        vecs.append(u / np.linalg.norm(u))
+    n = len(vecs)
+    pair = np.mean([1 - vecs[i] @ vecs[j] for i in range(n) for j in range(n) if i != j])
+    assert got_div.n_docs == n
+    assert abs(got_div.diversity - round(pair, 6)) < 1e-5
