@@ -134,3 +134,63 @@ def test_late_data_within_watermark_included(spark, tmp_path):
     ).toPandas()
     c1 = got[got.conv_id == "c1"]
     assert len(c1) == 1 and int(c1.n_turns.iloc[0]) == 3
+
+
+def test_assembly_restart_from_checkpoint(spark, tmp_path):
+    """North rule: kill the stateful assembly mid-stream, restart from the
+    checkpoint — the state store replays from the last committed epoch and
+    the final output is exactly-once and byte-identical to the oracle."""
+    import time
+
+    from dataflow_spark.datagen import make_transcripts
+
+    pdf = make_transcripts(3000, seed=9).sort_values("ts").reset_index(drop=True)
+    pdf = pdf.assign(ts=pdf.ts.astype("datetime64[us]"))
+    src = tmp_path / "rsrc"
+    src.mkdir()
+    for i in range(4):  # arrival order == event-time order, 4 micro-batches
+        pdf.iloc[i * 750 : (i + 1) * 750].to_parquet(
+            str(src / f"p{i:02d}.parquet"), index=False
+        )
+    out, ck = str(tmp_path / "rout"), str(tmp_path / "rck")
+
+    def run(stop_early=False):
+        q = (
+            assemble_conversations(
+                file_stream(spark, str(src), max_files_per_trigger=1),
+                gap_seconds=600,
+                watermark="2 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if stop_early:
+            while q.isActive and (
+                q.lastProgress is None or q.lastProgress["batchId"] < 2
+            ):
+                time.sleep(0.2)
+            q.stop()
+            try:
+                q.awaitTermination(60)
+            except Exception:  # noqa: BLE001 — interrupted mid-batch is the point
+                pass
+        else:
+            q.awaitTermination(300)
+
+    run(stop_early=True)  # simulated failure
+    run()  # recovery
+
+    got = spark.read.parquet(out).toPandas()
+    # exactly-once across the restart: no duplicated sessions
+    assert got.duplicated(["conv_id", "session_start"]).sum() == 0
+    oracle = RK.assemble_sessions(pdf, gap_seconds=600)
+    m = oracle.merge(
+        got, on=["conv_id", "session_start"], how="inner", suffixes=("_o", "_s")
+    )
+    assert len(m) == len(got)  # every emitted session exists in the oracle
+    assert (m.transcript_o == m.transcript_s).all()  # byte-identical text
+    assert (m.n_turns_o == m.n_turns_s).all()
+    assert len(got) >= len(oracle) - 50  # tail within watermark may be held
