@@ -386,7 +386,209 @@ def _q_dedup_embedding(spark, sf):
     df = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return D.dedup_embedding_cosine(df, "vec_id", threshold=0.97).select("vec_id")
+    return D.dedup_embedding_cosine(df, "vec_id", threshold=0.97, dim=64).select("vec_id")
+
+
+# ---------------------------------------------- near-dup dedup DuckDB oracles
+#
+# Every near-dup family resolves first-wins over a *verified candidate edge*
+# relation: rows i<j collide iff they share >= min_shared bands AND (for
+# verified families) the exact similarity check passes. That relation is what
+# the engine's bucket-claim greedy consumes (operators/dedup.py
+# _greedy_claim_resolve), so an oracle that (1) re-derives the bands with the
+# exact same integer arithmetic, (2) materializes the verified edges with a
+# band self-join, and (3) replays the reference's sequential first-wins scan
+# (minhash_deduplicator.py:74-86) as a recursive CTE over only the ids that
+# have edges, reproduces the keep-set bit-for-bit. The greedy state is a
+# kept-id list; a row is dropped iff any of its smaller verified neighbors is
+# kept — identical to "a kept row claimed >= min_shared of my bands and the
+# verify passed".
+#
+# Caveats (hold on the synthetic tables at every SF: min text length 48,
+# pure-ASCII): docs shorter than the 5-byte shingle window and empty-token
+# docs are treated as never-colliding by the oracles, while the engine gives
+# them degenerate signatures that can collide with other degenerate rows.
+
+
+def _greedy_dedup_oracle(prelude: str, edges_sql: str, final_select: str) -> str:
+    return f"""
+WITH RECURSIVE {prelude},
+edges AS ({edges_sql}),
+scan AS MATERIALIZED (
+  SELECT id,
+         coalesce(list_sort(list(DISTINCT src) FILTER (src IS NOT NULL)),
+                  CAST([] AS BIGINT[])) AS nbrs,
+         row_number() OVER (ORDER BY id) AS rn
+  FROM (SELECT dst AS id, src FROM edges
+        UNION ALL
+        SELECT src AS id, NULL AS src FROM edges)
+  GROUP BY id),
+greedy AS (
+  SELECT 0::BIGINT AS rn, CAST([] AS BIGINT[]) AS kept
+  UNION ALL
+  SELECT s.rn,
+         CASE WHEN len(list_intersect(s.nbrs, g.kept)) = 0
+              THEN list_append(g.kept, s.id) ELSE g.kept END
+  FROM greedy g JOIN scan s ON s.rn = g.rn + 1),
+fk AS (SELECT kept FROM greedy ORDER BY rn DESC LIMIT 1)
+{final_select}"""
+
+
+def _minhash_band_ctes(bands: int, rows_per_band: int, seed: int = 1) -> str:
+    """CTE chain defining ``bands(doc_id, bi, bh)`` — the exact multiply-shift
+    MinHash banding of operators/dedup.py minhash_signature_udf: distinct
+    byte-5-gram base-257 polynomial shingles (exact in int64: < 2^41),
+    h_i(x) = (a_i*x + b_i) mod 2^64 done in HUGEINT with a bitwise-AND mask
+    (20x faster than %), unsigned min per permutation, band key = md5 of the
+    comma-joined row-slice (same equality classes as the engine's xxhash64
+    slice key)."""
+    a, b = D.minhash_perm_constants(128, seed)
+    used = bands * rows_per_band
+    perm_rows = ",".join(
+        f"({i},{int(x)}::HUGEINT,{int(y)}::HUGEINT)"
+        for i, (x, y) in enumerate(zip(a, b))
+        if i < used
+    )
+    return f"""c AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+sh0 AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, length(t) - 3),
+           i -> ord(substr(t, i::int, 1))::HUGEINT * 4362470401
+              + ord(substr(t, (i+1)::int, 1)) * 16974593
+              + ord(substr(t, (i+2)::int, 1)) * 66049
+              + ord(substr(t, (i+3)::int, 1)) * 257
+              + ord(substr(t, (i+4)::int, 1)))) AS shs
+  FROM c WHERE length(t) >= 5),
+shu AS (SELECT doc_id, unnest(shs) AS x FROM sh0),
+perms AS (SELECT * FROM (VALUES {perm_rows}) v(i, pa, pb)),
+mins AS (
+  SELECT doc_id, i, min((x * pa + pb) & 18446744073709551615::HUGEINT) AS mv
+  FROM shu, perms GROUP BY doc_id, i),
+bands AS (
+  SELECT doc_id, (i // {rows_per_band})::int AS bi,
+         md5(string_agg(mv, ',' ORDER BY i)) AS bh
+  FROM mins GROUP BY doc_id, (i // {rows_per_band})::int)"""
+
+
+_DOC_KEEP = """SELECT d.doc_id, d.text FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM scan)
+   OR list_contains((SELECT kept FROM fk), d.doc_id)"""
+
+
+def _minhash_oracle() -> str:
+    b, r = D.optimal_band_param(0.9, 128)
+    return _greedy_dedup_oracle(
+        _minhash_band_ctes(b, r),
+        """SELECT DISTINCT l.doc_id::BIGINT AS src, r.doc_id::BIGINT AS dst
+           FROM bands l JOIN bands r
+             ON l.bi = r.bi AND l.bh = r.bh AND l.doc_id < r.doc_id""",
+        _DOC_KEEP,
+    )
+
+
+def _ngram_jaccard_oracle(threshold: float = 0.8) -> str:
+    b, r = D.optimal_band_param(threshold, 128)
+    edges = f"""SELECT c0.src, c0.dst FROM (
+        SELECT DISTINCT l.doc_id::BIGINT AS src, r.doc_id::BIGINT AS dst
+        FROM bands l JOIN bands r
+          ON l.bi = r.bi AND l.bh = r.bh AND l.doc_id < r.doc_id) c0
+      JOIN sh0 p1 ON p1.doc_id = c0.src
+      JOIN sh0 p2 ON p2.doc_id = c0.dst
+      WHERE len(p1.shs) + len(p2.shs) - len(list_intersect(p1.shs, p2.shs)) > 0
+        AND len(list_intersect(p1.shs, p2.shs))
+            / CAST(len(p1.shs) + len(p2.shs)
+                   - len(list_intersect(p1.shs, p2.shs)) AS DOUBLE) >= {threshold}"""
+    return _greedy_dedup_oracle(_minhash_band_ctes(b, r), edges, _DOC_KEEP)
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    bit_rows = ",".join(f"({i},{1 << i}::HUGEINT)" for i in range(64))
+    prelude = f"""tk AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+tw AS (
+  SELECT doc_id, tok, count(*) AS w
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY doc_id, tok),
+th AS (
+  SELECT doc_id, w,
+         ('0x' || substr(md5(tok), 17, 8))::BIGINT * 4294967296::HUGEINT
+         + ('0x' || substr(md5(tok), 25, 8))::BIGINT AS h
+  FROM tw),
+bitsv AS (SELECT * FROM (VALUES {bit_rows}) v(bi, p)),
+votes AS (
+  SELECT doc_id, bi, sum(CASE WHEN (h & p) != 0 THEN w ELSE -w END) AS v
+  FROM th, bitsv GROUP BY doc_id, bi),
+sim AS (
+  SELECT v0.doc_id, coalesce(sum(p) FILTER (v0.v > 0), 0::HUGEINT) AS shu
+  FROM votes v0 JOIN bitsv USING (bi) GROUP BY v0.doc_id),
+sims AS (
+  SELECT doc_id,
+         (CASE WHEN shu >= 9223372036854775808::HUGEINT
+               THEN shu - 18446744073709551616::HUGEINT ELSE shu END)::BIGINT AS s,
+         shu
+  FROM sim),
+bands AS (
+  SELECT doc_id, b.j::int AS bi, ((shu // b.p16) % 65536)::int AS bh
+  FROM sims, (VALUES (0,1::HUGEINT),(1,65536::HUGEINT),
+                     (2,4294967296::HUGEINT),(3,281474976710656::HUGEINT)) b(j, p16))"""
+    edges = f"""SELECT c0.src, c0.dst FROM (
+        SELECT DISTINCT l.doc_id::BIGINT AS src, r.doc_id::BIGINT AS dst
+        FROM bands l JOIN bands r
+          ON l.bi = r.bi AND l.bh = r.bh AND l.doc_id < r.doc_id) c0
+      JOIN sims s1 ON s1.doc_id = c0.src
+      JOIN sims s2 ON s2.doc_id = c0.dst
+      WHERE bit_count(xor(s1.s, s2.s)) <= {max_hamming}"""
+    return _greedy_dedup_oracle(prelude, edges, _DOC_KEEP)
+
+
+def _ngram_chunks_oracle(n_chunks: int = 3) -> str:
+    prelude = f"""cc AS (SELECT doc_id, coalesce(text,'') AS t FROM documents),
+ch AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(0, {n_chunks}),
+           i -> md5(substr(t, (i * (length(t) // {n_chunks}) + 1)::int,
+                           (length(t) // {n_chunks})::int))))) AS band
+  FROM cc)"""
+    edges = """SELECT DISTINCT l.doc_id::BIGINT AS src, r.doc_id::BIGINT AS dst
+      FROM ch l JOIN ch r ON l.band = r.band AND l.doc_id < r.doc_id"""
+    return _greedy_dedup_oracle(prelude, edges, _DOC_KEEP)
+
+
+def _embedding_cosine_oracle(
+    threshold: float = 0.97, n_planes: int = 12, n_tables: int = 3, dim: int = 64
+) -> str:
+    thr_bp = int(round(threshold * 10_000))
+    prelude = f"""qv AS (
+  SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                                e -> CAST(floor(e * 1000000) AS BIGINT)) AS q
+  FROM embeddings),
+pl AS (
+  SELECT a.t, b.p, c.d,
+         CASE WHEN substr(md5(a.t || ':' || b.p || ':' || c.d), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS w
+  FROM range({n_tables}) a(t), range({n_planes}) b(p), range({dim}) c(d)),
+qd AS (SELECT vec_id, d.d, q[(d.d + 1)::int] AS qd FROM qv, range({dim}) d(d)),
+proj AS (
+  SELECT vec_id, t, p, sum(qd * w) AS sv
+  FROM qd JOIN pl USING (d) GROUP BY vec_id, t, p),
+bands AS (
+  SELECT vec_id,
+         t || ':' || string_agg(CASE WHEN sv > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS band
+  FROM proj GROUP BY vec_id, t),
+pv AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nn FROM qv)"""
+    edges = f"""SELECT src, dst FROM (
+        SELECT c0.src, c0.dst, a.nn AS na, b.nn AS nb,
+               list_sum(list_transform(range(1, {dim + 1}),
+                        k -> a.q[k::int] * b.q[k::int])) AS dot
+        FROM (SELECT DISTINCT l.vec_id::BIGINT AS src, r.vec_id::BIGINT AS dst
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.vec_id < r.vec_id) c0
+        JOIN pv a ON a.vec_id = c0.src
+        JOIN pv b ON b.vec_id = c0.dst)
+      WHERE dot > 0 AND dot * dot * 100000000 >= {thr_bp * thr_bp} * na * nb"""
+    final = """SELECT d.vec_id FROM embeddings d
+WHERE d.vec_id NOT IN (SELECT id FROM scan)
+   OR list_contains((SELECT kept FROM fk), d.vec_id)"""
+    return _greedy_dedup_oracle(prelude, edges, final)
 
 
 # ------------------------------------------------------------------ scorers
@@ -1852,6 +2054,14 @@ def build_oracles() -> dict[str, str]:
                                     ORDER BY doc_id) AS rn
           FROM documents)
         SELECT doc_id, text FROM r WHERE rn = 1"""
+    # near-dup dedups: exact-arithmetic band re-derivation + verified
+    # candidate edges + recursive-CTE first-wins greedy (see the oracle
+    # builders' docstrings for the bit-parity argument)
+    o["dedup_minhash_lsh"] = _minhash_oracle()
+    o["dedup_simhash"] = _simhash_oracle()
+    o["dedup_ngram_chunks"] = _ngram_chunks_oracle()
+    o["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(0.8)
+    o["dedup_embedding_cosine"] = _embedding_cosine_oracle(0.97)
     for name, sql in _SCORER_ORACLES.items():
         o[name] = sql
     o.update(_WINDOW_ORACLES)
@@ -1861,11 +2071,8 @@ def build_oracles() -> dict[str, str]:
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()
     o.update(_STATS_ORACLES)
-    # no oracle (driver rows-only check): dedup_minhash_lsh, dedup_simhash,
-    # dedup_ngram_chunks, dedup_ngram_jaccard, dedup_embedding_cosine
-    # (order-dependent first-wins is not SQL-expressible — pytest parity vs
-    # sequential reference kernels instead), score_lexical_diversity
+    # no oracle (driver rows-only check): score_lexical_diversity
     # (iterative MTLD), refine_spelling / refine_stem (procedural SymSpell /
     # Porter — canonical-example tests), ann_topk_lsh (approximate),
-    # multimodal_features (synthesized binary input), split_sentences.
+    # multimodal_features (synthesized binary input).
     return o

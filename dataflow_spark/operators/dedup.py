@@ -345,8 +345,16 @@ def first_wins_bucket_claim(
         )
         comp = connected_components(edges)
         grouped = members.join(comp, "id").select("id", "band", "comp")
+        # fresh exprIds on the payload side: both cogroup branches would
+        # otherwise reference the same `comp` attributes (ambiguous self-join)
+        comp_p = comp.select(
+            F.col("id").alias("id"), F.col("comp").alias("__comp_p")
+        )
         pay = (
-            payload.join(comp, "id").select("id", "data", "comp") if need_payload else None
+            payload.join(comp_p, "id")
+            .select("id", "data", F.col("__comp_p").alias("comp"))
+            if need_payload
+            else None
         )
         key = "comp"
 
@@ -424,6 +432,16 @@ def optimal_band_param(
     return best
 
 
+def minhash_perm_constants(num_perm: int = 128, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """The pinned multiply-shift permutation constants (a_i odd, b_i) as
+    uint64 arrays — shared by the signature kernel and the DuckDB oracle
+    builder so both sides hash identically."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
+    return a, b
+
+
 def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
     """Arrow pandas_udf: text → array<long> MinHash signature.
 
@@ -439,9 +457,7 @@ def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
     division, so the (shingles × permutations) matrix stays SIMD —
     ~10x faster per Arrow batch at identical collision statistics.)
     """
-    rng = np.random.RandomState(seed)
-    a = (rng.randint(1, _MERSENNE, size=num_perm).astype(np.uint64) | np.uint64(1))
-    b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
+    a, b = minhash_perm_constants(num_perm, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(s: pd.Series) -> pd.Series:
@@ -578,29 +594,43 @@ def dedup_ngram_jaccard(
 # ----------------------------------------------------------------- simhash
 
 
-def simhash_udf(seed: int = 7):
+def simhash_udf():
     """64-bit token-weighted SimHash (simhash_deduplicator.py:15-85
-    semantics; token hash = crc32(token) | crc32(token+salt)<<32)."""
+    semantics). Token hash = LOW 64 bits of md5(token) — the `simhash`
+    library's md5 hashfunc truncated to f=64 (the reference runs
+    ``Simhash(text, f=64)``); tokenization pinned to ``lower().split()``
+    with per-occurrence weight; bit i set iff its signed vote sum > 0.
+    md5 (not crc32) keeps the kernel DuckDB-oracle-expressible."""
 
     @F.pandas_udf(T.LongType())
     def _udf(s: pd.Series) -> pd.Series:
-        salt = str(seed).encode()
+        import hashlib
+        from collections import Counter
+
+        cache: dict[str, int] = {}
+
+        def token_hash(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = int.from_bytes(hashlib.md5(t.encode("utf-8")).digest()[8:16], "big")
+                cache[t] = v
+            return v
+
+        idx = np.arange(64, dtype=np.uint64)
 
         def sh(v: str) -> int:
             toks = v.lower().split()
             if not toks:
                 return 0
             acc = np.zeros(64, dtype=np.int64)
-            for t in toks:
-                tb = t.encode("utf-8")
-                h = np.uint64(zlib.crc32(tb)) | (np.uint64(zlib.crc32(tb + salt)) << np.uint64(32))
-                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-                acc += np.where(bits.astype(bool), 1, -1)
-            out = np.uint64(0)
+            for t, w in Counter(toks).items():
+                bits = (np.uint64(token_hash(t)) >> idx) & np.uint64(1)
+                acc += np.where(bits.astype(bool), w, -w)
+            out = 0
             for i in range(64):
                 if acc[i] > 0:
-                    out |= np.uint64(1) << np.uint64(i)
-            return int(out.astype(np.int64))
+                    out |= 1 << i
+            return out - (1 << 64) if out >= (1 << 63) else out
 
         return s.fillna("").map(sh)
 
@@ -612,13 +642,12 @@ def dedup_simhash(
     order_col: str,
     text_col: str = "text",
     max_hamming: int = 3,
-    seed: int = 7,
 ) -> DataFrame:
     """SimHash near-dedup: 4×16-bit band keys → bucket-claim resolve with
     hamming ≤ max_hamming verify against kept rows (the simhash index
     query semantics, simhash_deduplicator.py:70-85)."""
     sh = _widen_for_compute(df, order_col, text_col).select(
-        F.col(order_col).alias("id"), simhash_udf(seed)(F.col(text_col)).alias("data")
+        F.col(order_col).alias("id"), simhash_udf()(F.col(text_col)).alias("data")
     ).localCheckpoint()
     band_exprs = [
         F.concat_ws(
@@ -671,6 +700,26 @@ def dedup_ngram_chunks(
 # ------------------------------------------------------ embedding cosine
 
 
+_QUANT = 1_000_000  # embedding quantization scale (micro-units)
+
+
+def hyperplane_signs(n_tables: int, n_planes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane weights from md5 — w[t,p,d] = +1 iff the
+    first md5 nibble of "t:p:d" is < 8. Sign-random-projection LSH keeps the
+    same cosine collision statistics as gaussian planes for ±1 weights
+    (Charikar 2002), and an arithmetic-free weight family makes the bucket
+    keys exactly reproducible in any engine (the DuckDB oracle re-derives
+    them from md5 alone — no float RNG to replicate)."""
+    import hashlib
+
+    w = np.empty((n_tables, n_planes, dim), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d in range(dim):
+                w[t, p, d] = 1 if hashlib.md5(f"{t}:{p}:{d}".encode()).digest()[0] < 128 else -1
+    return w
+
+
 def dedup_embedding_cosine(
     df: DataFrame,
     order_col: str,
@@ -678,47 +727,67 @@ def dedup_embedding_cosine(
     threshold: float = 0.95,
     n_planes: int = 12,
     n_tables: int = 3,
-    seed: int = 11,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dedup (sem_deduplicator.py:63-161 shape): candidates
-    via random-hyperplane LSH buckets, exact cosine verify against kept
-    rows inside the per-component greedy scan, first-wins resolve."""
+    via sign-random-projection LSH buckets, exact cosine verify against
+    kept rows inside the per-component greedy scan, first-wins resolve.
+
+    All arithmetic that decides the keep-set is INTEGER-exact: embeddings
+    are quantized to micro-units (floor(e * 1e6), one IEEE multiply then a
+    deterministic floor), bucket bits are signs of integer projections, and
+    the cosine test ``cos >= threshold`` is evaluated as
+    ``10^8 * dot^2 >= thr_bp^2 * |a|^2 * |b|^2`` (dot > 0) in arbitrary-
+    precision ints with thr_bp = round(threshold * 1e4) — so the result is
+    bit-reproducible across executors, Python versions, and the DuckDB
+    oracle, with no FP-summation-order sensitivity. Pass ``dim`` from the
+    caller to avoid a driver probe job."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
+    planes = hyperplane_signs(n_tables, n_planes, dim)  # (T, P, dim) of ±1
+    thr_bp = int(round(threshold * 10_000))
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def bucket_udf(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.values)  # (B, dim)
+        mat = np.floor(np.vstack(vs.values) * _QUANT).astype(np.int64)  # (B, dim)
+        signs = [mat @ planes[t].T > 0 for t in range(n_tables)]  # int64 exact
         keys = []
-        signs = []
-        for t in range(n_tables):
-            proj = mat @ planes[t].T > 0  # (B, planes)
-            signs.append(proj)
         for i in range(mat.shape[0]):
-            ks = []
-            for t in range(n_tables):
-                bits = "".join("1" if x else "0" for x in signs[t][i])
-                ks.append(f"{t}:{bits}")
-            keys.append(ks)
+            keys.append(
+                [
+                    f"{t}:" + "".join("1" if x else "0" for x in signs[t][i])
+                    for t in range(n_tables)
+                ]
+            )
         return pd.Series(keys)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def quant_udf(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda v: np.floor(np.asarray(v, dtype=np.float64) * _QUANT)
+            .astype(np.int64)
+            .tolist()
+        )
 
     buckets = df.select(
         F.col(order_col).alias("id"),
         F.explode(bucket_udf(F.col(vec_col))).alias("band"),
     )
-    payload = df.select(F.col(order_col).alias("id"), F.col(vec_col).alias("data"))
+    payload = df.select(F.col(order_col).alias("id"), quant_udf(F.col(vec_col)).alias("data"))
 
-    def unit(v) -> np.ndarray:
-        a = np.asarray(v, dtype=np.float64)
-        n = np.linalg.norm(a)
-        return a / n if n > 0 else a
+    def prepare(v) -> tuple:
+        q = np.asarray(v, dtype=np.int64)
+        # exact squared norm as a Python int (object-dtype sum never wraps)
+        return q, int((q.astype(object) * q.astype(object)).sum()) if q.size else 0
 
-    def cos(a: np.ndarray, b: np.ndarray) -> bool:
-        return float(a @ b) >= threshold
+    def cos_ok(a: tuple, b: tuple) -> bool:
+        qa, na = a
+        qb, nb = b
+        dot = int((qa.astype(object) * qb.astype(object)).sum()) if qa.size else 0
+        if dot <= 0:
+            return False
+        return dot * dot * 100_000_000 >= thr_bp * thr_bp * na * nb
 
     return first_wins_bucket_claim(
-        df, order_col, buckets, payload=payload, prepare=unit, verify=cos
+        df, order_col, buckets, payload=payload, prepare=prepare, verify=cos_ok
     )
