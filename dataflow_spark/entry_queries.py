@@ -858,17 +858,20 @@ def _q_join_user_assistant(spark, sf):
     conversation (batch form of the stream-stream join,
     func_call_operators.py:517-567 pairing semantics).
 
-    Plan: ONE window pass per conv_id (first-following-assistant via an
-    ignoreNulls frame scan) — no join at all. The round-1 conv_id equi-join
-    was O(users × assistants) per conversation; a 100k-turn support thread
-    at 10^12 scale would square. A window is linear in conversation size."""
+    Plan: ONE window pass per conv_id — no join at all. The round-1 conv_id
+    equi-join was O(users × assistants) per conversation; a 100k-turn
+    support thread at 10^12 scale would square. First-following is derived
+    as a GROWING frame over DESC turn_idx (last non-null over
+    (unboundedPreceding, -1)): Spark evaluates growing frames as a running
+    aggregate — genuinely linear — whereas a (1, unboundedFollowing) frame
+    is re-aggregated per row (O(n²) per conversation)."""
     tr = _derived_transcripts(spark, sf)
     w = (
         Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    nxt = F.first(
+    nxt = F.last(
         F.when(F.col("role") == "assistant", F.struct("turn_idx", "ts")),
         ignorenulls=True,
     ).over(w)
@@ -929,7 +932,7 @@ def _q_ann_bruteforce(spark, sf):
 def _q_ann_lsh(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ann_topk_lsh(emb, queries, k=5)
+    return SIM.ann_topk_lsh(emb, queries, k=5, dim=64)
 
 
 _ANN_ORACLES = {
@@ -1078,12 +1081,20 @@ def _q_split_semantic(spark, sf):
         lambda x: x != "",
     )
     sents = F.transform(
-        F.sequence(F.lit(0), F.ceil(F.size(words) / F.lit(10)).cast("int") - 1),
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.ceil(F.size(words) / F.lit(10)).cast("int"), F.lit(1)) - 1,
+        ),
         lambda i: F.array_join(F.slice(words, i * 10 + 1, F.lit(10)), " "),
     )
-    docs = docs.select(
+    # filter on the ORIGINAL text before re-aliasing 'text' to the derived
+    # sentence-joined column — filtering after the select would test the
+    # always-non-empty derived text (and the oracle filters the original);
+    # the greatest(...) guard keeps the sequence non-descending for the
+    # empty-doc case the filter removes
+    docs = docs.filter(F.size(words) > 0).select(
         "doc_id", F.concat(F.array_join(sents, ". "), F.lit(".")).alias("text")
-    ).filter(F.size(words) > 0)
+    )
     return split_semantic(docs, threshold=0.3)
 
 
@@ -1533,7 +1544,7 @@ _EXTRA_ORACLES["lexical_diversity_filter"] = f"""
              list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents),
-    h AS (SELECT doc_id, text, {_HDD_SQL} AS hdd FROM t)
+    h AS (SELECT doc_id, text, round({_HDD_SQL}, 9) AS hdd FROM t)
     SELECT doc_id, text FROM h WHERE hdd >= 0.53 AND hdd <= 0.99"""
 
 
@@ -1590,8 +1601,12 @@ def _q_lexdiv_filter(spark, sf):
     identical IEEE op sequence."""
     docs = _t(spark, sf, "documents")
     res = S.lexical_diversity_udf()(F.col("text"))
+    # round to 9dp on BOTH engines before the threshold compare: each
+    # P(X=0) product matches term-for-term, but the outer sum iterates
+    # Counter insertion order vs DuckDB list_distinct order — FP addition
+    # is order-dependent in the last ulp
     return (
-        docs.select("doc_id", "text", res["hdd"].alias("hdd"))
+        docs.select("doc_id", "text", F.round(res["hdd"], 9).alias("hdd"))
         .filter((F.col("hdd") >= 0.53) & (F.col("hdd") <= 0.99))
         .select("doc_id", "text")
     )

@@ -113,8 +113,11 @@ def hdd(toks: list[str], sample_size: int = 42) -> float:
     for freq in counts.values():
         if n_tokens - freq >= sample_size:
             # P(X=0) = C(n-f, k)/C(n, k) as a left-to-right product of k
-            # double terms — the SAME IEEE op sequence the SQL oracle runs
-            # (list product), so thresholds compare bit-identically
+            # double terms — matches the SQL oracle's list product
+            # term-for-term. The OUTER sum iterates Counter insertion
+            # order while the oracle sums DuckDB list_distinct order, so
+            # the total can differ in the last ulp: threshold consumers
+            # must compare on round(hdd, 9) (lexical_diversity_filter does)
             p_zero = 1.0
             for i in range(sample_size):
                 p_zero *= (n_tokens - freq - i) / (n_tokens - i)

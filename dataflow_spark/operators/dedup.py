@@ -224,15 +224,48 @@ def apply_first_wins(
 def with_order_rank(df: DataFrame, order_cols: list[str], rank_col: str = "__ord") -> DataFrame:
     """Stable dense global order rank (long) over ``order_cols``.
 
-    Uses zipWithIndex-free SQL: row_number over a global sort. The sort is a
-    one-off range shuffle; at 100 TB prefer a naturally-ordered key (e.g.
-    a monotone (conv_id, turn_idx) encoding) — callers that already hold a
-    unique long key (doc_id, vec_id) should pass it directly instead.
+    Distributed zipWithIndex shape: range-shuffle sort on ``order_cols``,
+    one light count job for per-partition offsets (over a localCheckpoint
+    so both jobs see the identical partitioning — range sampling is not
+    replay-stable), then an Arrow pass adds ``offset + local running
+    index``. No single-task global sort anywhere — every stage is as
+    parallel as the range partitioning. Callers that already hold a unique
+    long key (doc_id, vec_id) should pass it directly instead of ranking.
     """
-    from pyspark.sql import Window
+    import pandas as pd
 
-    w = Window.orderBy(*[F.col(c) for c in order_cols])
-    return df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+    sc = df.sparkSession.sparkContext
+    sorted_df = (
+        df.repartitionByRange(max(sc.defaultParallelism, 1), *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = dict(
+        (r["__pid"], r["cnt"])
+        for r in sorted_df.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    boff = sc.broadcast(offsets)
+    out_schema = T.StructType(
+        sorted_df.drop("__pid").schema.fields + [T.StructField(rank_col, T.LongType(), False)]
+    )
+
+    def add_rank(batches):
+        seen = 0
+        for pdf in batches:
+            if len(pdf):
+                base = boff.value[int(pdf["__pid"].iloc[0])]
+                start = base + seen + 1
+                pdf = pdf.drop(columns=["__pid"])
+                pdf[rank_col] = range(start, start + len(pdf))
+                seen += len(pdf)
+                yield pdf
+
+    return sorted_df.mapInPandas(add_rank, schema=out_schema)
 
 
 # -------------------------------------------------- bucket-claim first-wins

@@ -51,16 +51,6 @@ def vendi_score(df: DataFrame, vec_col: str = "embedding") -> float:
 
     dim = len(df.select(vec_col).first()[0])
 
-    @F.pandas_udf(T.ArrayType(T.DoubleType()))
-    def gram_partial(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.values).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.where(norms == 0, 1.0, norms)
-        g = mat.T @ mat  # (d, d)
-        return pd.Series([g.reshape(-1).tolist()] * len(vs))
-
-    # one partial per Arrow batch would duplicate — aggregate per partition
-    # via mapInPandas emitting a single row per batch instead
     def partials(batches):
         acc = np.zeros((dim, dim))
         n = 0

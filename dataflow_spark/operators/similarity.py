@@ -108,7 +108,8 @@ def ann_topk_lsh(
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH buckets (multi-probe on the
-    query side only). Output schema matches ann_topk_bruteforce."""
+    query side only). Output schema matches ann_topk_bruteforce. Pass
+    ``dim`` — the fallback probe launches an extra driver job per call."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(n_tables, n_planes, dim, seed)

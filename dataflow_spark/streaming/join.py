@@ -69,13 +69,20 @@ def pair_first_response_batch(
 ) -> DataFrame:
     """Batch twin: the FIRST qualifying response per user turn.
 
-    Default plan is a single per-conv window pass (linear in conversation
-    size — the scale path; the all-pairs equi-join squares on a 100k-turn
-    conversation). The window derivation assumes event time is
-    non-decreasing in ``turn_idx`` within a conversation (true of real
-    transcripts): if the NEXT response is outside the latency bound, every
-    later one is too. Pass ``exact=True`` for the all-pairs join that
-    makes no ordering assumption."""
+    Default plan is a single per-conv window pass over an EVENT-TIME RANGE
+    frame ``(user_ts, user_ts + bound]``: the frame itself enforces both
+    the strict ``resp_ts > user_ts`` predicate (equal-timestamp responses
+    are excluded, exactly like the all-pairs join) and the latency bound,
+    and ``min(struct(turn_idx, ...))`` picks the earliest response inside
+    it. Cost is O(turns x responses-within-bound) per conversation — the
+    frame is bounded by the latency window, never the conversation tail
+    (the all-pairs equi-join squares on a 100k-turn conversation; so does
+    an unboundedFollowing row frame, which Spark re-aggregates per row).
+    Equivalent to ``exact=True`` whenever event time is non-decreasing in
+    ``turn_idx`` within a conversation (true of real transcripts — out-of-
+    order rows could only differ in the ``resp_turn_idx > user_turn_idx``
+    predicate, which the range frame cannot see). Pass ``exact=True`` for
+    the all-pairs join that makes no ordering assumption."""
     from pyspark.sql import Window
 
     if exact:
@@ -94,32 +101,24 @@ def pair_first_response_batch(
             F.col("m.latency_us").alias("latency_us"),
         )
 
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = (
         Window.partitionBy("conv_id")
-        .orderBy("turn_idx")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(ts_us)
+        .rangeBetween(1, max_response_seconds * 1_000_000)
     )
-    nxt = F.first(
+    nxt = F.min(
         F.when(
             F.col("role").isin("assistant", "tool"),
             F.struct("turn_idx", "role", "ts"),
-        ),
-        ignorenulls=True,
+        )
     ).over(w)
     lat = F.unix_micros(F.col("nxt.ts").cast("timestamp")) - F.unix_micros(
         F.col("ts").cast("timestamp")
     )
     return (
         df.withColumn("nxt", nxt)
-        .filter(
-            (F.col("role") == "user")
-            & F.col("nxt").isNotNull()
-            & (F.col("nxt.ts") > F.col("ts"))
-            & (
-                F.col("nxt.ts")
-                <= F.col("ts") + F.expr(f"INTERVAL {max_response_seconds} SECONDS")
-            )
-        )
+        .filter((F.col("role") == "user") & F.col("nxt").isNotNull())
         .select(
             "conv_id",
             F.col("turn_idx").alias("user_turn_idx"),
