@@ -1051,8 +1051,9 @@ def _q_split_words(spark, sf):
 def _q_split_sentences(spark, sf):
     from dataflow_spark.operators.splitter import split_sentences
 
-    docs = _t(spark, sf, "documents").select("doc_id", "text")
-    return split_sentences(docs, chunk_size=200)
+    # over the sentence-punctuated twin, so the greedy sentence packing
+    # actually packs (the raw synthetic docs are one unterminated sentence)
+    return split_sentences(_sentence_twin_docs(spark, sf), chunk_size=200)
 
 
 def _q_split_tokens(spark, sf):
@@ -1069,12 +1070,10 @@ def _q_split_recursive(spark, sf):
     return split_recursive(docs, chunk_size=120)
 
 
-def _q_split_semantic(spark, sf):
-    from dataflow_spark.operators.splitter import split_semantic
-
+def _sentence_twin_docs(spark, sf):
     # the synthetic docs carry no sentence punctuation — derive a
     # sentence-punctuated twin (a period after every 10 words) so the
-    # cohesion splitter has real sentence boundaries to score
+    # sentence-aware splitters have real boundaries to work with
     docs = _t(spark, sf, "documents")
     words = F.filter(
         F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
@@ -1092,10 +1091,15 @@ def _q_split_semantic(spark, sf):
     # always-non-empty derived text (and the oracle filters the original);
     # the greatest(...) guard keeps the sequence non-descending for the
     # empty-doc case the filter removes
-    docs = docs.filter(F.size(words) > 0).select(
+    return docs.filter(F.size(words) > 0).select(
         "doc_id", F.concat(F.array_join(sents, ". "), F.lit(".")).alias("text")
     )
-    return split_semantic(docs, threshold=0.3)
+
+
+def _q_split_semantic(spark, sf):
+    from dataflow_spark.operators.splitter import split_semantic
+
+    return split_semantic(_sentence_twin_docs(spark, sf), threshold=0.3)
 
 
 def _q_bm25(spark, sf):
@@ -1523,6 +1527,42 @@ def _bleu_oracle_sql() -> str:
                END, 6) AS bleu
         FROM m"""
 
+
+# split_sentences: sentence-punctuated twin -> the engine's exact sentence
+# regex (RE2-safe, no lookbehind) -> the greedy packing loop replayed as a
+# recursive CTE over sentence indices (state = running chunk length +
+# chunk id per doc; iteration count = max sentences per doc, ~6)
+_EXTRA_ORACLES["split_sentences"] = r"""
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
+                     x -> x <> '') AS words
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(0, CAST(ceil(len(words) / 10.0) AS BIGINT)),
+           i -> array_to_string(words[i*10+1 : i*10+10], ' ')), '. ')
+         || '.' AS text
+  FROM w WHERE len(words) > 0),
+s AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(text, '\b[^.!?\n]+[.!?]*') AS ss FROM d),
+pack AS (
+  SELECT doc_id, 0::BIGINT AS i, 0::BIGINT AS cur_len, 0::BIGINT AS ci
+  FROM s WHERE len(ss) > 0
+  UNION ALL
+  SELECT p.doc_id, p.i + 1,
+         CASE WHEN p.cur_len > 0 AND p.cur_len + length(s.ss[(p.i+1)::int]) > 200
+              THEN length(s.ss[(p.i+1)::int])
+              ELSE p.cur_len + length(s.ss[(p.i+1)::int]) END,
+         CASE WHEN p.cur_len > 0 AND p.cur_len + length(s.ss[(p.i+1)::int]) > 200
+              THEN p.ci + 1 ELSE p.ci END
+  FROM pack p JOIN s USING (doc_id) WHERE p.i < len(s.ss))
+SELECT s.doc_id, CAST(a.ci AS INT) AS chunk_idx,
+       string_agg(s.ss[a.i::int], '' ORDER BY a.i) AS chunk
+FROM (SELECT doc_id, i, ci FROM pack WHERE i >= 1) a
+JOIN s ON s.doc_id = a.doc_id
+GROUP BY s.doc_id, a.ci"""
 
 _EXTRA_ORACLES["bleu_score"] = _bleu_oracle_sql()
 

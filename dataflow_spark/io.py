@@ -2,15 +2,19 @@
 
 Reference: FileStorage.read/write handles json/jsonl/csv/parquet/pickle
 (/root/reference/dataflow/utils/storage.py:124-135, 264-275) plus remote
-hf:/ms: datasets, and cleans invalid unicode surrogates on write
-(storage.py:212-277). Spark-side: format inference from the extension,
-surrogate cleaning as a native regexp, no pickle (no Spark analogue) and
-no remote hubs (no network here — the seam is this function).
+hf:/ms: datasets (storage.py:153-155,176-202 — URI parse/dispatch is
+implemented and unit-tested here; the hub download itself is a documented
+seam, no network in this environment), and cleans invalid unicode
+surrogates on write (storage.py:212-277). Spark-side: format inference
+from the extension, surrogate cleaning as a native regexp, no pickle (no
+Spark analogue). The paginated-DB source (MyScaleDBStorage.read,
+storage.py:341-490) is ``read_db_paginated`` below.
 """
 
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -32,7 +36,73 @@ def _fmt(path: str) -> str:
     return "parquet"
 
 
+@dataclass(frozen=True)
+class HubDatasetRef:
+    hub: str  # "hf" | "ms"
+    dataset: str
+    config: str | None
+    split: str
+
+
+def parse_dataset_uri(source: str) -> HubDatasetRef | None:
+    """Parse the reference's remote-dataset URIs (storage.py:176-202):
+
+    - ``hf:{name}`` / ``hf:{name}:{split}`` / ``hf:{name}:{config}:{split}``
+      (exactly the reference's arity rules: 1 trailing part = split,
+      2 = config+split, 0 or 3+ = defaults config=None split='train')
+    - ``ms:{name}`` / ``ms:{name}:{split}`` (split defaults to 'train')
+
+    Returns None for non-hub paths so ``read_any`` can fall through to the
+    local-file formats.
+    """
+    if source.startswith("hf:"):
+        _, dataset, *parts = source.split(":")
+        if len(parts) == 1:
+            config, split = None, parts[0]
+        elif len(parts) == 2:
+            config, split = parts
+        else:
+            config, split = None, "train"
+        return HubDatasetRef("hf", dataset, config, split)
+    if source.startswith("ms:"):
+        _, dataset, *parts = source.split(":")
+        return HubDatasetRef("ms", dataset, None, parts[0] if parts else "train")
+    return None
+
+
+def read_hub_dataset(spark: SparkSession, ref: HubDatasetRef) -> DataFrame:
+    """Load a hub dataset ref via the optional ``datasets`` / ``modelscope``
+    packages (the reference's exact load calls), then parallelize. Neither
+    package ships in this environment, so the fetch is an import-gated seam
+    — the URI dispatch above is the tested part."""
+    if ref.hub == "hf":
+        try:
+            from datasets import load_dataset  # type: ignore
+        except ImportError as e:  # pragma: no cover - seam
+            raise RuntimeError(
+                "hf: datasets requires the 'datasets' package (network hub seam)"
+            ) from e
+        ds = (
+            load_dataset(ref.dataset, ref.config, split=ref.split)
+            if ref.config
+            else load_dataset(ref.dataset, split=ref.split)
+        )
+        return spark.createDataFrame(ds.to_pandas())
+    try:
+        from modelscope import MsDataset  # type: ignore
+    except ImportError as e:  # pragma: no cover - seam
+        raise RuntimeError(
+            "ms: datasets requires the 'modelscope' package (network hub seam)"
+        ) from e
+    import pandas as pd
+
+    return spark.createDataFrame(pd.DataFrame(MsDataset.load(ref.dataset, split=ref.split)))
+
+
 def read_any(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    ref = parse_dataset_uri(path)
+    if ref is not None:
+        return read_hub_dataset(spark, ref)
     fmt = _fmt(path)
     reader = spark.read
     if schema is not None:
@@ -42,6 +112,65 @@ def read_any(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if fmt == "json":
         return reader.json(path)
     return reader.parquet(path)
+
+
+def read_db_paginated(
+    spark: SparkSession,
+    make_conn,
+    table: str,
+    schema,
+    page_size: int = 10_000,
+    where_sql: str = "",
+    order_col: str | None = None,
+    columns: str = "*",
+) -> DataFrame:
+    """Paginated DB scan — MyScaleDBStorage.read analogue (storage.py:
+    341-490; the LIMIT/OFFSET page construction is :405-415), parallelized
+    one page per Spark task instead of the reference's single-client loop.
+
+    ``make_conn`` must be a picklable zero-arg factory returning a DB-API
+    connection (each task opens its own — the Spark-JDBC partitioned-read
+    shape). One driver-side COUNT sizes the page range; every page then
+    reads ``SELECT {columns} FROM table [WHERE ...] ORDER BY {order_col}
+    LIMIT page_size OFFSET page*page_size`` inside ``mapInPandas``.
+    ``order_col`` is required when the source engine does not guarantee a
+    stable scan order (OFFSET without ORDER BY is engine-dependent — the
+    reference inherits ClickHouse's stable parts order); the WHERE clause
+    is pushed into every page query, so source-side predicate pruning
+    happens before rows ever reach Spark."""
+    where = f" WHERE {where_sql}" if where_sql else ""
+    order = f" ORDER BY {order_col}" if order_col else ""
+    conn = make_conn()
+    try:
+        cur = conn.execute(f"SELECT count(*) FROM {table}{where}")
+        total = cur.fetchone()[0]
+    finally:
+        conn.close()
+    n_pages = max((total + page_size - 1) // page_size, 1)
+
+    def fetch_pages(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for page in pdf["id"].tolist():
+                c = make_conn()
+                try:
+                    cur = c.execute(
+                        f"SELECT {columns} FROM {table}{where}{order} "
+                        f"LIMIT {page_size} OFFSET {int(page) * page_size}"
+                    )
+                    rows = cur.fetchall()
+                    cols = [d[0] for d in cur.description]
+                finally:
+                    c.close()
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.range(n_pages)
+        .repartition(min(n_pages, spark.sparkContext.defaultParallelism))
+        .mapInPandas(fetch_pages, schema=schema)
+    )
 
 
 def clean_surrogates(c) -> "F.Column":

@@ -64,3 +64,96 @@ def test_salted_agg_matches_plain(spark, corpus_df):
     assert plain[["window_start", "conv_id", "n_turns"]].equals(
         salted[["window_start", "conv_id", "n_turns"]]
     )
+
+
+def test_parse_dataset_uri():
+    from dataflow_spark.io import parse_dataset_uri as p
+
+    # the reference's arity rules (storage.py:176-202)
+    assert p("hf:openai/gsm8k:main:train") == __import__(
+        "dataflow_spark.io", fromlist=["HubDatasetRef"]
+    ).HubDatasetRef("hf", "openai/gsm8k", "main", "train")
+    r = p("hf:squad:validation")
+    assert (r.hub, r.dataset, r.config, r.split) == ("hf", "squad", None, "validation")
+    r = p("hf:squad")
+    assert (r.config, r.split) == (None, "train")
+    r = p("hf:a:b:c:d")  # 3+ trailing parts -> defaults
+    assert (r.config, r.split) == (None, "train")
+    r = p("ms:modelscope/gsm8k:train")
+    assert (r.hub, r.dataset, r.split) == ("ms", "modelscope/gsm8k", "train")
+    assert p("ms:modelscope/gsm8k").split == "train"
+    assert p("/tmp/x.parquet") is None
+    assert p("s3://bucket/x.json") is None
+
+
+def test_hub_seam_raises_without_packages(spark):
+    import importlib.util
+
+    import pytest
+
+    from dataflow_spark.io import read_any
+
+    if importlib.util.find_spec("datasets") is None:
+        with pytest.raises(RuntimeError, match="hub seam"):
+            read_any(spark, "hf:openai/gsm8k:main:train")
+    if importlib.util.find_spec("modelscope") is None:
+        with pytest.raises(RuntimeError, match="hub seam"):
+            read_any(spark, "ms:modelscope/gsm8k:train")
+
+
+def _sqlite_conn_factory(path):
+    import functools
+    import sqlite3
+
+    return functools.partial(sqlite3.connect, path)
+
+
+def test_read_db_paginated_sqlite(spark, tmp_path):
+    """MyScaleDBStorage-shaped paginated scan against a real DB-API source
+    (sqlite), one page per task: full coverage, no dup/loss across page
+    boundaries, WHERE pushed into every page query."""
+    import sqlite3
+
+    db = str(tmp_path / "src.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, pipeline_id TEXT, payload TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(i, "p1" if i % 3 else "p2", f"row-{i}") for i in range(2345)],
+    )
+    con.commit()
+    con.close()
+
+    from dataflow_spark.io import read_db_paginated
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("pipeline_id", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    out = read_db_paginated(
+        spark,
+        _sqlite_conn_factory(db),
+        "t",
+        schema,
+        page_size=100,
+        order_col="id",
+    )
+    got = sorted(r["id"] for r in out.collect())
+    assert got == list(range(2345))
+
+    # predicate pushdown: the WHERE lands in the page SQL, not a Spark filter
+    filt = read_db_paginated(
+        spark,
+        _sqlite_conn_factory(db),
+        "t",
+        schema,
+        page_size=100,
+        where_sql="pipeline_id = 'p2'",
+        order_col="id",
+    )
+    rows = filt.collect()
+    assert sorted(r["id"] for r in rows) == [i for i in range(2345) if i % 3 == 0]
+    assert all(r["pipeline_id"] == "p2" for r in rows)
