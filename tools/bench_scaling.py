@@ -34,7 +34,7 @@ def build_zip() -> str:
     return zpath
 
 
-def run_at(cores: int, turns: int, zpath: str) -> dict:
+def run_at(cores: int, turns: int, zpath: str, modes: str = "batch,stream,assembly") -> dict:
     env = dict(os.environ)
     env["DFS_UNDER_SPARK_SUBMIT"] = "1"
     spark_submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
@@ -54,9 +54,15 @@ def run_at(cores: int, turns: int, zpath: str) -> dict:
         "--conf", f"spark.default.parallelism={os.environ.get('DFS_SHUFFLE_PARTS', '64')}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
+    ]
+    # knob experiments: DFS_EXTRA_CONFS="k1=v1;k2=v2" (applied to BOTH legs)
+    for kv in filter(None, os.environ.get("DFS_EXTRA_CONFS", "").split(";")):
+        cmd += ["--conf", kv]
+    cmd += [
         "--py-files", zpath,
         os.path.join(REPO, "tools", "scaling_job.py"),
         "--turns", str(turns),
+        "--modes", modes,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3000)
     for line in reversed(out.stdout.strip().splitlines()):
@@ -106,29 +112,29 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=600_000)
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
+    ap.add_argument("--modes", default="batch,stream,assembly")
     args = ap.parse_args()
 
     zpath = build_zip()
     lo, hi = args.cores
     ceiling = cpu_ceiling(lo, hi)
-    r_lo = run_at(lo, args.turns, zpath)
-    r_hi = run_at(hi, args.turns, zpath)
+    r_lo = run_at(lo, args.turns, zpath, args.modes)
+    r_hi = run_at(hi, args.turns, zpath, args.modes)
 
     def eff(metric: str) -> float:
         speedup = r_hi[metric] / r_lo[metric]
         return round(speedup / (hi / lo), 3)
 
-    report = {
-        "low": r_lo,
-        "high": r_hi,
-        "batch_scaling_efficiency": eff("batch_turns_per_sec"),
-        "stream_scaling_efficiency": eff("stream_turns_per_sec"),
-        "assembly_scaling_efficiency": eff("assembly_turns_per_sec"),
-        "machine_cpu_ceiling_efficiency": ceiling,
-        "batch_efficiency_vs_ceiling": round(eff("batch_turns_per_sec") / ceiling, 3),
-        "stream_efficiency_vs_ceiling": round(eff("stream_turns_per_sec") / ceiling, 3),
-    }
+    report = {"low": r_lo, "high": r_hi, "machine_cpu_ceiling_efficiency": ceiling}
+    for leg in ("batch", "stream", "assembly"):
+        if f"{leg}_turns_per_sec" in r_lo:
+            report[f"{leg}_scaling_efficiency"] = eff(f"{leg}_turns_per_sec")
+            report[f"{leg}_efficiency_vs_ceiling"] = round(
+                eff(f"{leg}_turns_per_sec") / ceiling, 3
+            )
     print(json.dumps(report))
+    if {"batch", "stream", "assembly"} - set(args.modes.split(",")):
+        return  # knob probe — don't overwrite the headline BASELINE.md
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:

@@ -31,7 +31,13 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=600_000)
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--data-dir", default=None)
+    ap.add_argument(
+        "--modes",
+        default="batch,stream,assembly",
+        help="comma-set of legs to run (assembly-only probes skip the rest)",
+    )
     args = ap.parse_args()
+    modes = set(args.modes.split(","))
 
     from pyspark.sql import functions as F
 
@@ -107,75 +113,72 @@ def main() -> None:
     shutil.rmtree(warm_dir, ignore_errors=True)
     shutil.rmtree(wck, ignore_errors=True)
 
+    result: dict = {"cores": cores, "turns": args.turns}
+
     # ---- batch mode
-    t0 = time.time()
-    df = spark.read.parquet(data_dir)
-    out = apply_filters(
-        dedup_exact(
-            apply_refiners(df, refiners).withColumn(
-                "__ord", F.struct("conv_id", "turn_idx")
-            ),
-            ["text"], "__ord",
-        ).drop("__ord"),
-        filters,
-    ).withColumn("quality", quality_score_native(F.col("text")))
-    out.write.format("noop").mode("overwrite").save()
-    batch_s = time.time() - t0
+    if "batch" in modes:
+        t0 = time.time()
+        df = spark.read.parquet(data_dir)
+        out = apply_filters(
+            dedup_exact(
+                apply_refiners(df, refiners).withColumn(
+                    "__ord", F.struct("conv_id", "turn_idx")
+                ),
+                ["text"], "__ord",
+            ).drop("__ord"),
+            filters,
+        ).withColumn("quality", quality_score_native(F.col("text")))
+        out.write.format("noop").mode("overwrite").save()
+        batch_s = time.time() - t0
+        result["batch_s"] = round(batch_s, 2)
+        result["batch_turns_per_sec"] = round(args.turns / batch_s, 1)
 
     # ---- streaming mode (exactly-once sink)
-    sink_dir = tempfile.mkdtemp(prefix="dfs_scale_sink_")
-    ck = tempfile.mkdtemp(prefix="dfs_scale_ck_")
-    sink = KeyedMergeSink(os.path.join(sink_dir, "table"))
-    t0 = time.time()
-    stream = file_stream(spark, data_dir, max_files_per_trigger=16)
-    sout = apply_filters(apply_refiners(stream, refiners), filters)
-    q = (
-        sout.writeStream.foreachBatch(sink.foreach_batch)
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    stream_s = time.time() - t0
-    lineage = sink.lineage()
-    n_sunk = sum(r["rows"] for r in lineage)
-    shutil.rmtree(sink_dir, ignore_errors=True)
-    shutil.rmtree(ck, ignore_errors=True)
+    if "stream" in modes:
+        sink_dir = tempfile.mkdtemp(prefix="dfs_scale_sink_")
+        ck = tempfile.mkdtemp(prefix="dfs_scale_ck_")
+        sink = KeyedMergeSink(os.path.join(sink_dir, "table"))
+        t0 = time.time()
+        stream = file_stream(spark, data_dir, max_files_per_trigger=16)
+        sout = apply_filters(apply_refiners(stream, refiners), filters)
+        q = (
+            sout.writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        stream_s = time.time() - t0
+        lineage = sink.lineage()
+        result["stream_s"] = round(stream_s, 2)
+        result["stream_turns_per_sec"] = round(args.turns / stream_s, 1)
+        result["stream_rows_sunk"] = sum(r["rows"] for r in lineage)
+        result["n_batches"] = len(lineage)
+        shutil.rmtree(sink_dir, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
 
     # ---- stateful mode: session-window conversation assembly
-    ck2 = tempfile.mkdtemp(prefix="dfs_scale_ck2_")
-    t0 = time.time()
-    aq = (
-        assemble_conversations(
-            file_stream(spark, data_dir, max_files_per_trigger=16),
-            gap_seconds=600,
-            watermark="2 minutes",
+    if "assembly" in modes:
+        ck2 = tempfile.mkdtemp(prefix="dfs_scale_ck2_")
+        t0 = time.time()
+        aq = (
+            assemble_conversations(
+                file_stream(spark, data_dir, max_files_per_trigger=16),
+                gap_seconds=600,
+                watermark="2 minutes",
+            )
+            .writeStream.format("noop")
+            .option("checkpointLocation", ck2)
+            .trigger(availableNow=True)
+            .start()
         )
-        .writeStream.format("noop")
-        .option("checkpointLocation", ck2)
-        .trigger(availableNow=True)
-        .start()
-    )
-    aq.awaitTermination()
-    assembly_s = time.time() - t0
-    shutil.rmtree(ck2, ignore_errors=True)
+        aq.awaitTermination()
+        assembly_s = time.time() - t0
+        result["assembly_s"] = round(assembly_s, 2)
+        result["assembly_turns_per_sec"] = round(args.turns / assembly_s, 1)
+        shutil.rmtree(ck2, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "cores": cores,
-                "turns": args.turns,
-                "batch_s": round(batch_s, 2),
-                "batch_turns_per_sec": round(args.turns / batch_s, 1),
-                "stream_s": round(stream_s, 2),
-                "stream_turns_per_sec": round(args.turns / stream_s, 1),
-                "stream_rows_sunk": n_sunk,
-                "n_batches": len(lineage),
-                "assembly_s": round(assembly_s, 2),
-                "assembly_turns_per_sec": round(args.turns / assembly_s, 1),
-            }
-        )
-    )
+    print(json.dumps(result))
     spark.stop()
 
 
