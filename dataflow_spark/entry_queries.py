@@ -1587,6 +1587,68 @@ _EXTRA_ORACLES["lexical_diversity_filter"] = f"""
     h AS (SELECT doc_id, text, round({_HDD_SQL}, 9) AS hdd FROM t)
     SELECT doc_id, text FROM h WHERE hdd >= 0.53 AND hdd <= 0.99"""
 
+# MTLD (McCarthy & Jarvis 2010; reference
+# eval/statistics/lexical_diversity_scorer.py:13-46) is a sequential
+# factor-count walk — the oracle replays it as a recursive CTE whose state
+# per (doc, direction) is (position, factors, run length, run type set).
+# Each iteration advances every live doc by one token, so recursion depth
+# = max tokens/doc (99 at sf0.01; ~2s at sf0.1). All constants are forced
+# to DOUBLE so DuckDB's DECIMAL literal arithmetic can't diverge from the
+# Python kernel's IEEE op sequence: raw values are bit-exact vs mtld() on
+# all sf dirs, and both engines round 6dp half-up (pandas would bank ties).
+_EXTRA_ORACLES["score_lexical_diversity"] = f"""
+    WITH RECURSIVE
+    t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    d AS (
+      SELECT doc_id, 0 AS dir, toks FROM t
+      UNION ALL
+      SELECT doc_id, 1 AS dir, list_reverse(toks) AS toks FROM t),
+    walk AS (
+      SELECT doc_id, dir, toks, 0 AS i, 0.0::DOUBLE AS factors, 0 AS cnt,
+             []::VARCHAR[] AS types
+      FROM d
+      UNION ALL
+      SELECT doc_id, dir, toks, i + 1,
+             CASE WHEN len(types2) / CAST(cnt + 1 AS DOUBLE) <= 0.72::DOUBLE
+                  THEN factors + 1.0::DOUBLE ELSE factors END,
+             CASE WHEN len(types2) / CAST(cnt + 1 AS DOUBLE) <= 0.72::DOUBLE
+                  THEN 0 ELSE cnt + 1 END,
+             CASE WHEN len(types2) / CAST(cnt + 1 AS DOUBLE) <= 0.72::DOUBLE
+                  THEN []::VARCHAR[] ELSE types2 END
+      FROM (
+        SELECT doc_id, dir, toks, i, factors, cnt,
+               CASE WHEN list_contains(types, toks[i + 1]) THEN types
+                    ELSE list_append(types, toks[i + 1]) END AS types2
+        FROM walk WHERE i < len(toks)) s),
+    fin AS (
+      SELECT doc_id, dir, len(toks) AS n, factors, cnt,
+             CASE WHEN cnt > 0 THEN len(types) / CAST(cnt AS DOUBLE)
+                  ELSE 1.0::DOUBLE END AS ttr
+      FROM walk WHERE i = len(toks)),
+    per_dir AS (
+      SELECT doc_id, dir, n,
+             factors + CASE WHEN cnt > 0 AND ttr < 1.0::DOUBLE
+                            THEN (1.0::DOUBLE - ttr)
+                                 / (1.0::DOUBLE - 0.72::DOUBLE)
+                            ELSE 0.0::DOUBLE END AS f
+      FROM fin),
+    vals AS (
+      SELECT doc_id, dir,
+             CASE WHEN f = 0.0::DOUBLE THEN CAST(n AS DOUBLE)
+                  ELSE n / f END AS v
+      FROM per_dir),
+    m AS (
+      SELECT doc_id,
+             (max(CASE WHEN dir = 0 THEN v END) +
+              max(CASE WHEN dir = 1 THEN v END)) / 2.0::DOUBLE AS mtld_raw
+      FROM vals GROUP BY doc_id)
+    SELECT t.doc_id, round(m.mtld_raw, 6) AS mtld, round({_HDD_SQL}, 6) AS hdd
+    FROM t JOIN m USING (doc_id)"""
+
 
 # -------------------------------------------- stats / thin filters / generators
 
@@ -2126,8 +2188,8 @@ def build_oracles() -> dict[str, str]:
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()
     o.update(_STATS_ORACLES)
-    # no oracle (driver rows-only check): score_lexical_diversity
-    # (iterative MTLD), refine_spelling / refine_stem (procedural SymSpell /
-    # Porter — canonical-example tests), ann_topk_lsh (approximate),
-    # multimodal_features (synthesized binary input).
+    # no oracle (driver rows-only check): refine_spelling / refine_stem
+    # (procedural SymSpell / Porter — canonical-example tests),
+    # ann_topk_lsh (approximate), multimodal_features (synthesized binary
+    # input).
     return o

@@ -28,6 +28,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+try:  # Spark 4 stateful-processor API (transformWithStateInPandas)
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover - Spark < 4
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
 OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType(), False),
@@ -100,39 +105,8 @@ def make_assembler(gap_seconds: int = 600):
                     zip(ts_us, p["turn_idx"].astype("int64").tolist(), p["role"].tolist(), texts)
                 )
 
-        turns.sort(key=lambda t: (t[0], t[1]))
-        # split sessions on gap in ts order
-        sessions: list[list[tuple]] = []
-        cur: list[tuple] = []
-        prev_ts = None
-        for t in turns:
-            if prev_ts is not None and t[0] - prev_ts > gap_us:
-                sessions.append(cur)
-                cur = []
-            cur.append(t)
-            prev_ts = t[0]
-        if cur:
-            sessions.append(cur)
-
         wm_us = state.getCurrentWatermarkMs() * 1000
-        out_rows: list[dict[str, Any]] = []
-        remaining: list[tuple] = []
-        for sess in sessions:
-            sess_end = sess[-1][0]
-            if sess_end + gap_us < wm_us:
-                n, transcript = _assemble_turns(sess)
-                if n > 0:
-                    out_rows.append(
-                        {
-                            "conv_id": conv_id,
-                            "session_start": pd.Timestamp(sess[0][0], unit="us"),
-                            "session_end": pd.Timestamp(sess_end, unit="us"),
-                            "n_turns": n,
-                            "transcript": transcript,
-                        }
-                    )
-            else:
-                remaining.extend(sess)
+        out_rows, remaining = _flush(turns, gap_us, wm_us, conv_id)
 
         if remaining:
             state.update(
@@ -170,6 +144,125 @@ def assemble_conversations(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _flush(
+    turns: list[tuple], gap_us: int, wm_us: int, conv_id: str
+) -> Tuple[list[dict[str, Any]], list[tuple]]:
+    """Shared session-close logic: sort, split on gap, emit sessions whose
+    end + gap is behind the watermark. Returns (emitted rows, open tail).
+    turns are (ts_us, turn_idx, role, text)."""
+    turns.sort(key=lambda t: (t[0], t[1]))
+    sessions: list[list[tuple]] = []
+    cur: list[tuple] = []
+    prev_ts = None
+    for t in turns:
+        if prev_ts is not None and t[0] - prev_ts > gap_us:
+            sessions.append(cur)
+            cur = []
+        cur.append(t)
+        prev_ts = t[0]
+    if cur:
+        sessions.append(cur)
+
+    out_rows: list[dict[str, Any]] = []
+    remaining: list[tuple] = []
+    for sess in sessions:
+        sess_end = sess[-1][0]
+        if sess_end + gap_us < wm_us:
+            n, transcript = _assemble_turns(sess)
+            if n > 0:
+                out_rows.append(
+                    {
+                        "conv_id": conv_id,
+                        "session_start": pd.Timestamp(sess[0][0], unit="us"),
+                        "session_end": pd.Timestamp(sess_end, unit="us"),
+                        "n_turns": n,
+                        "transcript": transcript,
+                    }
+                )
+        else:
+            remaining.extend(sess)
+    return out_rows, remaining
+
+
+class ConversationAssemblyProcessor(StatefulProcessor):
+    """transformWithState(InPandas) twin of ``make_assembler`` — identical
+    pinned semantics, newer state machinery (RocksDB column families, timer
+    API) introduced in Spark 4. Requires
+    ``spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider``.
+    """
+
+    def __init__(self, gap_seconds: int = 600):
+        self.gap_us = gap_seconds * 1_000_000
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        self.turns_state = handle.getListState(
+            "turns", "ts_us long, turn_idx integer, role string, text string"
+        )
+
+    def _emit(self, conv_id: str, turns: list[tuple], wm_us: int):
+        out_rows, remaining = _flush(turns, self.gap_us, wm_us, conv_id)
+        if remaining:
+            self.turns_state.put([tuple(t) for t in remaining])
+            next_close_ms = (remaining[0][0] + self.gap_us) // 1000
+            self.handle.registerTimer(max(next_close_ms, wm_us // 1000 + 1))
+        else:
+            self.turns_state.clear()
+        if out_rows:
+            yield pd.DataFrame(out_rows)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        turns: list[tuple] = [tuple(r) for r in self.turns_state.get()]
+        for p in rows:
+            if not len(p):
+                continue
+            ts_us = p["ts"].astype("datetime64[us]").astype("int64").tolist()
+            texts = ["" if x is None or x != x else x for x in p["text"]]
+            turns.extend(
+                zip(ts_us, p["turn_idx"].astype("int64").tolist(), p["role"].tolist(), texts)
+            )
+        # one live timer per group: drop stale ones before re-registering
+        for t in self.handle.listTimers():
+            self.handle.deleteTimer(t)
+        yield from self._emit(conv_id, turns, timerValues.getCurrentWatermarkInMs() * 1000)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        (conv_id,) = key
+        turns = [tuple(r) for r in self.turns_state.get()]
+        yield from self._emit(conv_id, turns, timerValues.getCurrentWatermarkInMs() * 1000)
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def close(self) -> None:
+        pass
+
+
+def assemble_conversations_tws(
+    stream: DataFrame,
+    gap_seconds: int = 600,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming conversation assembly via ``transformWithStateInPandas``
+    (Spark 4 stateful-processor API). Same output contract as
+    ``assemble_conversations``; needs the RocksDB state store provider AND
+    ``google.protobuf`` in the Python env (the TWS driver worker's state
+    protocol is protobuf-based — absent in this container, so the twin is
+    byte-parity-tested only where that dependency exists;
+    tests/test_streaming.py gates on importorskip)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .transformWithStateInPandas(
+            statefulProcessor=ConversationAssemblyProcessor(gap_seconds),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="append",
+            timeMode="eventTime",
         )
     )
 

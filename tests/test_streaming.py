@@ -100,6 +100,39 @@ def test_streaming_assembly_batch_twin_equals_oracle(spark, src_dir):
     assert got["n_turns"].tolist() == oracle["n_turns"].tolist()
 
 
+def test_streaming_assembly_tws_matches_pandas_oracle(spark, src_dir, tmp_path):
+    """transformWithStateInPandas twin: same pinned semantics as
+    applyInPandasWithState assembly, byte-compared to the pandas oracle.
+
+    The TWS Python driver worker speaks a protobuf protocol — skip where
+    google.protobuf is unavailable (this container has no protobuf and no
+    network; the operator is exercised wherever Spark 4 + protobuf exist)."""
+    pytest.importorskip("google.protobuf")
+    from dataflow_spark.streaming.assembly import assemble_conversations_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream(spark, src_dir)
+        got = _run_stream(
+            spark,
+            assemble_conversations_tws(stream, gap_seconds=600, watermark="2 minutes"),
+            "t_assembly_tws",
+            str(tmp_path),
+        ).toPandas()
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    pdf = pd.read_parquet(os.path.join(src_dir, "transcripts.parquet"))
+    oracle = RK.assemble_sessions(pdf, gap_seconds=600)
+    m = oracle.merge(got, on=["conv_id", "session_start"], how="inner", suffixes=("_o", "_s"))
+    assert len(m) == len(got)
+    assert (m.transcript_o == m.transcript_s).all()
+    assert (m.n_turns_o == m.n_turns_s).all()
+    assert len(got) >= len(oracle) - 25
+
+
 def test_stream_stream_join_matches_batch(spark, src_dir, tmp_path):
     stream = file_stream(spark, src_dir)
     got = _run_stream(
