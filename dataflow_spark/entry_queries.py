@@ -1566,6 +1566,98 @@ GROUP BY s.doc_id, a.ci"""
 
 _EXTRA_ORACLES["bleu_score"] = _bleu_oracle_sql()
 
+# CIDEr (eval/gen/cider_scorer.py:17) is pure deterministic TF-IDF n-gram
+# arithmetic, so the DuckDB twin replays the engine plan step for step:
+# same tokenization, n=1..4 gram explosion, reference-corpus IDF, per-n
+# tf-idf cosine, mean over 4, x10 with the sigma=6 length gaussian.
+# round-6 on both engines absorbs libm (ln/exp/sqrt) last-ulp differences
+# and FP sum-order differences — same contract as the BLEU oracle.
+_EXTRA_ORACLES["cider_score"] = r"""
+WITH pairs AS (
+  SELECT a.doc_id AS id, a.text AS cand, b.text AS ref
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+tok AS (
+  SELECT id,
+         regexp_split_to_array(trim(lower(coalesce(cand,''))), '\s+') AS ct,
+         regexp_split_to_array(trim(lower(coalesce(ref,''))), '\s+') AS rt
+  FROM pairs),
+ns AS (SELECT unnest([1,2,3,4]) AS n),
+cg AS (
+  SELECT id, unnest(CASE WHEN len(ct) - n + 1 >= 1
+         THEN list_transform(range(1, len(ct) - n + 2),
+                             i -> array_to_string(ct[i:i+n-1], ' '))
+         ELSE [] END) AS gram
+  FROM tok CROSS JOIN ns),
+rg AS (
+  SELECT id, unnest(CASE WHEN len(rt) - n + 1 >= 1
+         THEN list_transform(range(1, len(rt) - n + 2),
+                             i -> array_to_string(rt[i:i+n-1], ' '))
+         ELSE [] END) AS gram
+  FROM tok CROSS JOIN ns),
+ndocs AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM pairs),
+dfreq AS (SELECT gram, count(*) AS df
+          FROM (SELECT DISTINCT id, gram FROM rg) GROUP BY gram),
+idf AS (SELECT gram, ln(nd / df) AS idf FROM dfreq, ndocs),
+ctf AS (SELECT id, gram, count(*) AS ctf FROM cg GROUP BY id, gram),
+rtf AS (SELECT id, gram, count(*) AS rtf FROM rg GROUP BY id, gram),
+j AS (
+  SELECT coalesce(c.id, r.id) AS id, coalesce(c.gram, r.gram) AS gram,
+         coalesce(c.ctf, 0) AS ctf, coalesce(r.rtf, 0) AS rtf,
+         coalesce(i.idf, 0.0::DOUBLE) AS idf,
+         len(string_split(coalesce(c.gram, r.gram), ' ')) AS n
+  FROM ctf c FULL OUTER JOIN rtf r ON c.id = r.id AND c.gram = r.gram
+  LEFT JOIN idf i ON coalesce(c.gram, r.gram) = i.gram),
+per_n AS (
+  SELECT id, n,
+         sum(ctf * rtf * idf * idf) AS dot,
+         sqrt(sum(ctf * ctf * idf * idf)) AS cn,
+         sqrt(sum(rtf * rtf * idf * idf)) AS rn
+  FROM j GROUP BY id, n),
+sims AS (SELECT id, n,
+                CASE WHEN cn > 0 AND rn > 0 THEN dot / (cn * rn)
+                     ELSE 0.0::DOUBLE END AS sim
+         FROM per_n),
+lens AS (SELECT id, len(ct) AS cl, len(rt) AS rl FROM tok)
+SELECT s.id,
+       round(10.0::DOUBLE * (sum(sim) / 4.0::DOUBLE)
+             * exp(-((cl - rl) * (cl - rl)) / 72.0::DOUBLE), 6) AS cider
+FROM sims s JOIN lens USING (id)
+GROUP BY s.id, cl, rl"""
+
+
+def _kcenter_oracle_sql(k: int = 12) -> str:
+    """ContentChooser k-center greedy (agentic_rag/filter/content_chooser.py
+    :140) as k-1 unrolled argmax CTE steps: each pick is min-sq-euclidean
+    distance to the selected set, max over points, ties to the smallest id
+    — exactly ``operators/selection.kcenter_greedy``'s order. MATERIALIZED
+    CTEs keep each step a single e x sel scan (a correlated-subquery form
+    re-expands the union chain per row and blows up)."""
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id AS id, "
+        "CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "sel0 AS MATERIALIZED (SELECT id, v, 0 AS sel_rank FROM e "
+        "WHERE id = (SELECT min(id) FROM e))",
+    ]
+    for r in range(1, k):
+        parts.append(f"""pick{r} AS MATERIALIZED (
+  SELECT dd.id, e.v, {r} AS sel_rank
+  FROM (SELECT e.id, min(list_sum(list_transform(range(1, len(e.v)+1),
+              j -> (e.v[j] - s.v[j]) * (e.v[j] - s.v[j])))) AS d
+        FROM e CROSS JOIN sel{r - 1} s GROUP BY e.id) dd
+  JOIN e ON e.id = dd.id
+  ORDER BY dd.d DESC, dd.id ASC LIMIT 1)""")
+        parts.append(
+            f"sel{r} AS MATERIALIZED (SELECT * FROM sel{r - 1} "
+            f"UNION ALL SELECT * FROM pick{r})"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT id AS vec_id, sel_rank FROM sel{k - 1}"
+    )
+
+
+_EXTRA_ORACLES["kcenter_select"] = _kcenter_oracle_sql(12)
+
 _HDD_SQL = """
     CASE WHEN len(toks) < 42 THEN 0.0 ELSE
       list_sum(list_transform(

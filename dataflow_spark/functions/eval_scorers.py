@@ -145,18 +145,20 @@ def cider_scores(
 
     def ngram_explode(col: str, out: str):
         toks = F.split(F.trim(F.lower(F.coalesce(F.col(col), F.lit("")))), r"\s+")
+
+        def gram_at(n: int):
+            # closure factory, NOT `lambda i, n=n`: F.transform counts lambda
+            # parameters (defaults included) and passes the 0-based array
+            # index as the second argument, silently shadowing the default
+            return lambda i: F.concat_ws(" ", F.slice(toks, i, n))
+
         grams = []
         for n in range(1, max_n + 1):
             k = F.size(toks) - (n - 1)
             # NB sequence(1, 0) DESCENDS in Spark — guard k < 1 explicitly
             grams.append(
-                F.when(
-                    k >= 1,
-                    F.transform(
-                        F.sequence(F.lit(1), k),
-                        lambda i, n=n: F.concat_ws(" ", F.slice(toks, i, n)),
-                    ),
-                ).otherwise(F.array().cast("array<string>"))
+                F.when(k >= 1, F.transform(F.sequence(F.lit(1), k), gram_at(n)))
+                .otherwise(F.array().cast("array<string>"))
             )
         return df.select(
             F.col(id_col).alias("id"), F.explode(F.flatten(F.array(*grams))).alias(out)

@@ -118,6 +118,13 @@ def test_cider_ordering(spark):
     out = {r.id: r.cider for r in cider_scores(df).collect()}
     assert out[0] > out[2] > out[3]
     assert out[1] < out[0]
+    # exact values from an independent sequential replica of the CIDEr
+    # formula (Counter-based tf-idf cosine, sigma=6 length gaussian) —
+    # ordinal-only checks missed a slice-length bug that zeroed most dots
+    assert out[0] == 10.0
+    assert out[1] == pytest.approx(1.423467, abs=1e-6)
+    assert out[2] == pytest.approx(8.096898, abs=1e-6)
+    assert out[3] == 0.0
 
 
 def test_pipeline_compile_catches_missing_key():
