@@ -952,6 +952,56 @@ _ANN_ORACLES = {
                        ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
           FROM scored)
         SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5""",
+    # Exact replay of the sign-LSH path (operators/similarity.py): the
+    # md5-arithmetic hyperplane family makes bucket codes, Hamming-1
+    # multiprobe keys, candidate set, and final ranking all deterministic
+    # and SQL-expressible — an *approximate* ANN query with an *exact*
+    # oracle. n_tables=4, n_planes=10, seed=13, dim=64, k=5 match _q_ann_lsh.
+    "ann_topk_lsh": """
+        WITH c AS (SELECT vec_id AS id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        q AS (SELECT * FROM c WHERE id < 10),
+        planes AS (
+          SELECT tt.t, pp.p,
+                 list_transform(range(0, 64),
+                   j -> ('0x' || substr(md5('plane:13:' || tt.t || ':' || pp.p
+                         || ':' || j), 1, 8))::BIGINT
+                        / 2147483648.0::DOUBLE - 1.0::DOUBLE) AS pv
+          FROM (SELECT unnest(range(0, 4)) AS t) tt,
+               (SELECT unnest(range(0, 10)) AS p) pp),
+        ccode AS (
+          SELECT c.id, pl.t,
+                 sum(CASE WHEN list_dot_product(c.v, pl.pv) > 0
+                     THEN (1::BIGINT << (9 - pl.p)) ELSE 0 END) AS code
+          FROM c CROSS JOIN planes pl GROUP BY c.id, pl.t),
+        qcode AS (SELECT cc.id, cc.t, cc.code
+                  FROM ccode cc JOIN q ON q.id = cc.id),
+        cb AS (SELECT id AS neighbor_id, t || ':' || code AS bk FROM ccode),
+        qb AS (
+          SELECT id AS query_id, t || ':' || code AS bk FROM qcode
+          UNION ALL
+          SELECT id, t || ':' || xor(code, (1::BIGINT << jj.j)) AS bk
+          FROM qcode, (SELECT unnest(range(0, 10)) AS j) jj),
+        cand AS (
+          SELECT DISTINCT qb.query_id, cb.neighbor_id
+          FROM cb JOIN qb USING (bk)
+          WHERE cb.neighbor_id <> qb.query_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_dot_product(qv.v, cv.v)
+                 / (sqrt(list_dot_product(qv.v, qv.v))
+                    * sqrt(list_dot_product(cv.v, cv.v))) AS cos_sim
+          FROM cand JOIN c qv ON qv.id = cand.query_id
+                    JOIN c cv ON cv.id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos_sim,
+                 row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= 5""",
 }
 
 
@@ -1154,8 +1204,9 @@ def _q_bleu(spark, sf):
 
 def _q_bertscore(spark, sf):
     """BERTScorer shape (eval/gen stand-in): greedy-matched hashed-embedding
-    P/R/F between adjacent documents (rows-only — RNG embeddings are not
-    SQL-expressible; pytest checks vs a plain-python twin)."""
+    P/R/F between adjacent documents. The md5-component embedding family
+    is SQL-replayable, so this has a full DuckDB oracle (plus pytest vs a
+    plain-python twin)."""
     from dataflow_spark.functions.eval_scorers import bertscore_udf
 
     a = _t(spark, sf, "documents").select("doc_id", F.col("text").alias("cand"))
@@ -1657,6 +1708,92 @@ def _kcenter_oracle_sql(k: int = 12) -> str:
 
 
 _EXTRA_ORACLES["kcenter_select"] = _kcenter_oracle_sql(12)
+
+# The md5-component unit embedding shared by the BERTScore / Task2Vec
+# stand-ins (functions/eval_scorers._token_unit_vector): component j of a
+# token is ('0x' || substr(md5(tok || ':' || j), 1, 8))::BIGINT / 2^31 - 1,
+# unit-normalized — an arithmetic hash family chosen precisely so these
+# two scores are DuckDB-replayable (the prior RNG-seeded family was not).
+_EMB_SQL = """
+    raw AS (
+      SELECT tok, list_transform(range(0, 64),
+             j -> ('0x' || substr(md5(tok || ':' || j), 1, 8))::BIGINT
+                  / 2147483648.0::DOUBLE - 1.0::DOUBLE) AS rv
+      FROM vocab),
+    emb AS (
+      SELECT tok, list_transform(rv, x -> x / n) AS v
+      FROM (SELECT tok, rv, sqrt(list_sum(list_transform(rv, y -> y * y))) AS n
+            FROM raw))"""
+
+_EXTRA_ORACLES["bertscore"] = f"""
+WITH pairs AS (
+  SELECT a.doc_id AS id, a.text AS cand, b.text AS ref
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+tok AS (
+  SELECT id,
+         list_filter(regexp_split_to_array(lower(coalesce(cand,'')), '\\s+'),
+                     x -> x <> '') AS ct,
+         list_filter(regexp_split_to_array(lower(coalesce(ref,'')), '\\s+'),
+                     x -> x <> '') AS rt
+  FROM pairs),
+vocab AS (
+  SELECT DISTINCT tok FROM (
+    SELECT unnest(ct) AS tok FROM tok UNION SELECT unnest(rt) AS tok FROM tok)),
+{_EMB_SQL},
+civ AS (
+  SELECT id, s.i AS i, e.v
+  FROM (SELECT id, unnest(list_transform(range(1, len(ct) + 1),
+               k -> struct_pack(i := k, tok := ct[k]))) AS s FROM tok) u
+  JOIN emb e ON e.tok = u.s.tok),
+riv AS (
+  SELECT id, s.i AS i, e.v
+  FROM (SELECT id, unnest(list_transform(range(1, len(rt) + 1),
+               k -> struct_pack(i := k, tok := rt[k]))) AS s FROM tok) u
+  JOIN emb e ON e.tok = u.s.tok),
+simmat AS (
+  SELECT c.id, c.i AS ci, r.i AS ri, list_dot_product(c.v, r.v) AS cos
+  FROM civ c JOIN riv r USING (id)),
+p AS (SELECT id, avg(m) AS p
+      FROM (SELECT id, ci, max(cos) AS m FROM simmat GROUP BY id, ci)
+      GROUP BY id),
+r AS (SELECT id, avg(m) AS r
+      FROM (SELECT id, ri, max(cos) AS m FROM simmat GROUP BY id, ri)
+      GROUP BY id)
+SELECT t.id AS doc_id,
+       round(coalesce(p.p, 0.0::DOUBLE), 6) AS precision,
+       round(coalesce(r.r, 0.0::DOUBLE), 6) AS recall,
+       round(CASE WHEN coalesce(p.p, 0) + coalesce(r.r, 0) > 0
+             THEN 2 * p.p * r.r / (p.p + r.r) ELSE 0.0::DOUBLE END, 6) AS f1
+FROM tok t LEFT JOIN p ON p.id = t.id LEFT JOIN r ON r.id = t.id"""
+
+_EXTRA_ORACLES["task2vec_diversity"] = f"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+  WHERE regexp_matches(coalesce(text,''), '\\S')),
+vocab AS (SELECT DISTINCT tok FROM (SELECT unnest(ts) AS tok FROM d)),
+{_EMB_SQL},
+dtokv AS (
+  SELECT dt.doc_id, uk.k AS k, e.v[uk.k] AS x
+  FROM (SELECT doc_id, unnest(ts) AS tok FROM d) dt
+  JOIN emb e ON e.tok = dt.tok
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS k) uk),
+dmean AS (
+  SELECT doc_id, k, sum(x) / count(*) AS m FROM dtokv GROUP BY doc_id, k),
+dnorm AS (SELECT doc_id, sqrt(sum(m * m)) AS nrm FROM dmean GROUP BY doc_id),
+dunit AS (
+  SELECT dm.doc_id, dm.k,
+         CASE WHEN dn.nrm > 0 THEN dm.m / dn.nrm ELSE dm.m END AS u
+  FROM dmean dm JOIN dnorm dn USING (doc_id)),
+S AS (SELECT k, sum(u) AS s FROM dunit GROUP BY k),
+agg AS (SELECT (SELECT count(*) FROM d) AS n, sum(s * s) AS sumsq FROM S)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CASE WHEN n > 1
+            THEN round(1.0::DOUBLE - (sumsq - n) / (n * (n - 1)), 6)
+            ELSE 0.0::DOUBLE END AS diversity
+FROM agg"""
 
 _HDD_SQL = """
     CASE WHEN len(toks) < 42 THEN 0.0 ELSE
@@ -2282,6 +2419,6 @@ def build_oracles() -> dict[str, str]:
     o.update(_STATS_ORACLES)
     # no oracle (driver rows-only check): refine_spelling / refine_stem
     # (procedural SymSpell / Porter — canonical-example tests),
-    # ann_topk_lsh (approximate), multimodal_features (synthesized binary
-    # input).
+    # multimodal_features (synthesized binary input), vendi_score
+    # (eigendecomposition), plus the procedural pipeline/streaming checks.
     return o

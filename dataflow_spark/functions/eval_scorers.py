@@ -13,6 +13,7 @@ import math
 import re
 import string
 from collections import Counter
+from functools import lru_cache
 
 import pandas as pd
 from pyspark.sql import Column
@@ -231,28 +232,39 @@ def bleu_udf():
 
 # ------------------------------------------------- BERTScore / Task2Vec Δ
 
-def _token_embedding_matrix(tokens: list[str], dim: int = 64):
-    """Deterministic per-token unit embeddings: each token's vector is
-    drawn from a RandomState seeded by its blake2-derived 32-bit hash.
-    The model seam for BERTScorer/Task2VecScorer (both reference scorers
-    run transformer encoders — eval/gen/bertscore_scorer.py,
-    eval/statistics/task2vec_scorer.py); swap this function for real
-    encoder outputs to recover the reference metrics. Deterministic,
-    pinned, and identical across executors."""
+@lru_cache(maxsize=65536)
+def _token_unit_vector(token: str, dim: int = 64) -> tuple:
+    """Component j of a token's raw vector is
+    ``int(md5(f"{token}:{j}")[:8], 16) / 2^31 - 1`` (uniform in [-1, 1)),
+    then the vector is unit-normalized. md5 arithmetic — not an RNG — so
+    a DuckDB oracle can replay it exactly:
+    ``('0x' || substr(md5(tok || ':' || j), 1, 8))::BIGINT``."""
     import hashlib
 
+    raw = [
+        int(hashlib.md5(f"{token}:{j}".encode("utf-8")).hexdigest()[:8], 16)
+        / 2147483648.0
+        - 1.0
+        for j in range(dim)
+    ]
+    norm = math.sqrt(sum(x * x for x in raw))
+    return tuple(x / norm for x in raw) if norm > 0 else tuple(raw)
+
+
+def _token_embedding_matrix(tokens: list[str], dim: int = 64):
+    """Deterministic per-token unit embeddings derived from md5 component
+    hashes (see ``_token_unit_vector``). The model seam for
+    BERTScorer/Task2VecScorer (both reference scorers run transformer
+    encoders — eval/gen/bertscore_scorer.py,
+    eval/statistics/task2vec_scorer.py); swap this function for real
+    encoder outputs to recover the reference metrics. Deterministic,
+    pinned, identical across executors, and SQL-replayable (the md5
+    family makes the downstream scores DuckDB-oracle-checkable)."""
     import numpy as np
 
     if not tokens:
         return np.zeros((0, dim))
-    vecs = np.empty((len(tokens), dim))
-    for i, t in enumerate(tokens):
-        seed = int.from_bytes(
-            hashlib.blake2s(t.encode("utf-8"), digest_size=4).digest(), "big"
-        )
-        vecs[i] = np.random.RandomState(seed).normal(size=dim)
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    return vecs
+    return np.array([_token_unit_vector(t, dim) for t in tokens])
 
 
 def bertscore(candidate: str, reference: str, dim: int = 64) -> tuple[float, float, float]:

@@ -68,8 +68,25 @@ def ann_topk_bruteforce(
 
 
 def _hyperplanes(n_tables: int, n_planes: int, dim: int, seed: int) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.normal(size=(n_tables, n_planes, dim)).astype(np.float64)
+    """md5-arithmetic hyperplane family (not an RNG): component j of plane
+    (t, p) is ``int(md5(f"plane:{seed}:{t}:{p}:{j}")[:8], 16) / 2^31 - 1``
+    — uniform in [-1, 1), deterministic, identical across executors, and
+    SQL-replayable, so the bucket assignment (and hence the whole
+    ann_topk_lsh output) can be verified by a DuckDB oracle."""
+    import hashlib
+
+    arr = np.empty((n_tables, n_planes, dim))
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for j in range(dim):
+                h = int(
+                    hashlib.md5(
+                        f"plane:{seed}:{t}:{p}:{j}".encode("utf-8")
+                    ).hexdigest()[:8],
+                    16,
+                )
+                arr[t, p, j] = h / 2147483648.0 - 1.0
+    return arr
 
 
 def _bucket_udf(planes: np.ndarray, multiprobe: bool):
