@@ -95,9 +95,35 @@ def _warm_stateful(spark) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _host_calibration() -> dict:
+    """One-core pure-Python md5 throughput + CPU steal ticks — a fixed
+    workload whose time depends only on host health, NOT on this repo's
+    code. This shared VM shows large day-scale drift and CPU-steal spikes
+    (observed >2x swings within hours), so per-round absolute timings are
+    only comparable after normalizing by this number; the scaling evidence
+    in BENCH/BASELINE.md additionally measures its own ceiling per session."""
+    import hashlib
+
+    def steal() -> int:
+        try:
+            with open("/proc/stat") as f:
+                return int(f.readline().split()[8])
+        except Exception:  # noqa: BLE001
+            return -1
+
+    s0 = steal()
+    t0 = time.time()
+    x = b"x" * 1000
+    for _ in range(200_000):
+        x = hashlib.md5(x).digest() + b"y" * 984
+    return {"host_1core_md5_s": round(time.time() - t0, 3), "steal_jiffies_before": s0}
+
+
 def main() -> None:
     from dataflow_spark.entry_queries import build_queries
     from dataflow_spark.session import get_spark
+
+    cal = _host_calibration()
 
     spark = get_spark("dataflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -211,6 +237,7 @@ def main() -> None:
                 "stream_turns_per_sec": stream_turns_per_sec,
                 "n_turns": N_TURNS,
                 "cores": spark.sparkContext.defaultParallelism,
+                "host_calibration": cal,
             }
         )
     )
