@@ -2281,6 +2281,134 @@ _STATS_ORACLES["quality_filter"] = (
 )
 
 
+# ---------------------------------------------------------------- text2sql
+
+# Pinned SQL corpora instantiated from doc_id ('@' -> the id, digits only,
+# so substitution never changes which scoring patterns match). The
+# classifier templates span the easy/medium/hard/extra bands; the
+# execution templates mix valid scalar/CTE SELECTs with non-SELECT
+# statements (gate-rejected) and SELECTs that parse but fail at execution
+# (syntax / unknown table / unknown function).
+_SQL_CLASSIFY_TEMPLATES = [
+    "select name from users where id = @",
+    "select a, b from t order by a limit @",
+    "select x from t1 join t2 on t1.id = t2.id where x > @ and y < @ or z = @",
+    "select count(x) from t group by g having count(x) > @ order by g",
+    "select a from (select a from t) sub union select a from u",
+    "select a, b from t1 join t2 on a = b join t3 on b = c where a in "
+    "(select x from s) and b > @ and c < @ group by a, b having count(x) > 1 "
+    "order by a limit 5 union select @, @ from v",
+    "select cast(a as int), round(b) from t where a like '%@%'",
+    "with t as (select a from x) select a from t where a = @",
+]
+
+_SQL_EXEC_TEMPLATES = [
+    "select 1 + @",
+    "select @ as x, 2 as y",
+    "/* c@ */ select 3",
+    "-- c\nselect @",
+    "with t as (select @ as v) select v from t",
+    "update docs set x = @",
+    "select from where @",
+    "select * from nonexistent_table_@",
+    "delete from t -- @",
+    "select unknown_func_xyz(@)",
+]
+_SQL_EXEC_VALID = (0, 1, 2, 3, 4)
+
+
+def _sql_from_templates(templates: list[str]):
+    tpl = F.element_at(
+        F.array(*[F.lit(t) for t in templates]),
+        (F.col("doc_id") % len(templates) + 1).cast("int"),
+    )
+    return F.replace(tpl, F.lit("@"), F.col("doc_id").cast("string"))
+
+
+def _q_sql_component_classify(spark, sf):
+    """SQLComponentClassifier / EvalHardnessLite
+    (text2sql/eval/sql_component_classifier.py:630-698): difficulty label
+    from SQL component counts, Catalyst-native."""
+    from dataflow_spark.operators.text2sql import sql_component_difficulty
+
+    docs = _t(spark, sf, "documents")
+    sql = _sql_from_templates(_SQL_CLASSIFY_TEMPLATES)
+    return docs.select(
+        "doc_id", sql.alias("sql"), sql_component_difficulty(sql).alias("difficulty")
+    )
+
+
+def _q_sql_execution_filter(spark, sf):
+    """SQLExecutionFilter (text2sql/filter/sql_execution_filter.py:13-115):
+    SELECT/WITH gate in Catalyst, then genuine execution against an
+    in-process DuckDB per Arrow batch; rows whose SQL errors are dropped.
+    The oracle derives the keep-set arithmetically from the template
+    construction — verifying the engine's execute-probe agrees with the
+    known validity of each variant."""
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    docs = _t(spark, sf, "documents")
+    cand = docs.select(
+        "doc_id", _sql_from_templates(_SQL_EXEC_TEMPLATES).alias("sql")
+    )
+    return sql_execution_filter(cand, "sql")
+
+
+def _duck_sql_templates(templates: list[str]) -> str:
+    lits = ", ".join("'" + t.replace("'", "''") + "'" for t in templates)
+    return (
+        f"replace(list_extract([{lits}], (doc_id % {len(templates)} + 1)::int),"
+        " '@', CAST(doc_id AS VARCHAR))"
+    )
+
+
+def _duck_sql_difficulty(s: str) -> str:
+    """DuckDB transcription of EvalHardnessLite's score over expression
+    ``s`` (an already-lowered SQL string) + the [2,5,9] banding."""
+    cnt = lambda tok: (  # noqa: E731
+        f"((length({s}) - length(replace({s}, '{tok}', ''))) / {len(tok)})"
+    )
+    has = lambda tok: f"contains({s}, '{tok}')"  # noqa: E731
+    colgrp = f"regexp_extract({s}, '(?s)select\\s+(distinct\\s+)?(.+?)\\s+from', 2)"
+    score = " + ".join(
+        [
+            f"CASE WHEN regexp_matches({s}, '\\( *select') THEN 2 ELSE 0 END",
+            f"CASE WHEN {cnt(' join ')} > 0 THEN CAST({cnt(' join ')} AS INT) ELSE 0 END",
+            f"CASE WHEN {cnt(',')} > 0 AND {has('from')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {cnt(' and ')} + {cnt(' or ')} >= 2 THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('in')} OR {has('exists')} OR {has('like')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('group by')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('having')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('cast')} OR {has('round')} OR {has('substring')} "
+            f"OR {has('date')} OR {has('coalesce')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('order by')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('limit')} THEN 1 ELSE 0 END",
+            f"CASE WHEN {has('union')} OR {has('intersect')} OR {has('except')} "
+            "THEN 2 ELSE 0 END",
+            f"CASE WHEN length({colgrp}) - length(replace({colgrp}, ',', '')) >= 1 "
+            "THEN 1 ELSE 0 END",
+        ]
+    )
+    return (
+        f"CASE WHEN ({score}) <= 2 THEN 'easy' WHEN ({score}) <= 5 THEN 'medium' "
+        f"WHEN ({score}) <= 9 THEN 'hard' ELSE 'extra' END"
+    )
+
+
+_EXTRA_ORACLES["sql_component_classify"] = f"""
+    WITH c AS (SELECT doc_id,
+                      {_duck_sql_templates(_SQL_CLASSIFY_TEMPLATES)} AS sql
+               FROM documents)
+    SELECT doc_id, sql, {_duck_sql_difficulty("lower(sql)")} AS difficulty
+    FROM c"""
+
+_EXTRA_ORACLES["sql_execution_filter"] = f"""
+    SELECT doc_id,
+           {_duck_sql_templates(_SQL_EXEC_TEMPLATES)} AS sql
+    FROM documents
+    WHERE (doc_id % {len(_SQL_EXEC_TEMPLATES)}) IN {tuple(_SQL_EXEC_VALID)}"""
+
+
 # --------------------------------------------------------------- multimodal
 
 def _q_multimodal_features(spark, sf):
@@ -2327,6 +2455,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top_orders_per_segment": _q_top_orders_per_segment,
             "top_events_per_user": _q_top_events_per_user,
             "multimodal_features": _q_multimodal_features,
+            "sql_component_classify": _q_sql_component_classify,
+            "sql_execution_filter": _q_sql_execution_filter,
             "split_chars": _q_split_chars,
             "split_words": _q_split_words,
             "split_sentences": _q_split_sentences,

@@ -73,6 +73,9 @@ def _build() -> dict[str, Callable]:
             "select.kcenter": select_diverse,
         }
     )
+    from dataflow_spark.operators.text2sql import sql_execution_filter
+
+    reg["text2sql.execution_filter"] = sql_execution_filter
     return reg
 
 

@@ -1,0 +1,129 @@
+"""text2sql deterministic operators vs pinned reference transcriptions.
+
+The kernel below is a sequential Python transcription of the reference's
+EvalHardnessLite (text2sql/eval/sql_component_classifier.py:630-698); the
+Catalyst expression must agree on every input, including the quirky
+substring semantics ('in' matching inside 'join'/'having')."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from dataflow_spark.operators.text2sql import (
+    is_select_sql,
+    sql_component_difficulty,
+    sql_execution_filter,
+)
+
+
+def _hardness_kernel(sql: str) -> str:
+    s = sql.lower()
+    score = 0
+    if re.search(r"\( *select", s):
+        score += 2
+    if s.count(" join ") > 0:
+        score += s.count(" join ")
+    if s.count(",") > 0 and "from" in s:
+        score += 1
+    if s.count(" and ") + s.count(" or ") >= 2:
+        score += 1
+    if any(kw in s for kw in ["in", "exists", "like"]):
+        score += 1
+    if "group by" in s:
+        score += 1
+    if "having" in s:
+        score += 1
+    if any(f in s for f in ["cast", "round", "substring", "date", "coalesce"]):
+        score += 1
+    if "order by" in s:
+        score += 1
+    if "limit" in s:
+        score += 1
+    if any(op in s for op in ["union", "intersect", "except"]):
+        score += 2
+    cols = re.findall(r"select\s+(distinct\s+)?(.+?)\s+from", s, re.DOTALL)
+    if cols and cols[0][1].count(",") >= 1:
+        score += 1
+    for t, lab in zip([2, 5, 9], ["easy", "medium", "hard"]):
+        if score <= t:
+            return lab
+    return "extra"
+
+
+CASES = [
+    "SELECT name FROM users WHERE id = 7",
+    "select a, b from t order by a limit 5",
+    "select x from t1 join t2 on t1.id = t2.id where x > 1 and y < 2 or z = 3",
+    "select count(x) from t group by g having count(x) > 2 order by g",
+    "select a from (select a from t) sub union select a from u",
+    "select a, b from t1 join t2 on a = b join t3 on b = c where a in "
+    "(select x from s) and b > 1 and c < 2 group by a, b having count(x) > 1 "
+    "order by a limit 5 union select 1, 2 from v",
+    "select cast(a as int), round(b) from t where a like '%x%'",
+    "with t as (select a from x) select a from t where a = 1",
+    "insert into t values (1)",
+    "",
+    "select distinct a, b,\nc from multi_line",
+]
+
+
+def test_difficulty_matches_reference_kernel(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], "i long, sql string")
+    got = {
+        r.i: r.d
+        for r in df.select("i", sql_component_difficulty(F.col("sql")).alias("d")).collect()
+    }
+    for i, s in enumerate(CASES):
+        assert got[i] == _hardness_kernel(s), f"case {i}: {s!r}"
+
+
+def test_select_gate_matches_reference_strip_semantics(spark):
+    rows = [
+        (0, "SELECT 1", True),
+        (1, "  with t as (select 1) select * from t", True),
+        (2, "/* block */ select 2", True),
+        (3, "-- line comment\nselect 3", True),  # newline after strip — Python .strip() semantics
+        (4, "update t set x = 1", False),
+        (5, "/* only a comment */", False),
+        (6, None, False),
+    ]
+    df = spark.createDataFrame([(i, s) for i, s, _ in rows], "i long, sql string")
+    got = {r.i: r.k for r in df.select("i", is_select_sql(F.col("sql")).alias("k")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, f"case {i}"
+
+
+def test_execution_filter_duckdb_and_sqlite(spark):
+    rows = [
+        (0, "select 1 + 1"),            # valid
+        (1, "select from nowhere"),     # parse error
+        (2, "select * from missing_t"), # binder error
+        (3, "delete from t"),           # gate-reject
+        (4, "with c as (select 2 as v) select v from c"),  # valid
+    ]
+    df = spark.createDataFrame(rows, "i long, sql string")
+    kept = sorted(r.i for r in sql_execution_filter(df, "sql").collect())
+    assert kept == [0, 4]
+
+    # db_factory path: real tables in sqlite make the binder query valid
+    def sqlite_factory():
+        import sqlite3
+
+        con = sqlite3.connect(":memory:")
+        con.execute("CREATE TABLE missing_t (a int)")
+        return con
+
+    kept2 = sorted(
+        r.i for r in sql_execution_filter(df, "sql", db_factory=sqlite_factory).collect()
+    )
+    assert kept2 == [0, 2, 4]
+
+
+def test_entry_queries_deterministic(spark):
+    """The pinned-template corpus construction is stable across runs."""
+    from dataflow_spark.entry_queries import build_queries
+
+    q = build_queries()["sql_component_classify"]
+    a = q(spark, "/root/testdata/sf0.001").toPandas().sort_values("doc_id")
+    b = q(spark, "/root/testdata/sf0.001").toPandas().sort_values("doc_id")
+    assert a.equals(b)
