@@ -98,6 +98,25 @@ class Pipeline:
         (operators/pandas_operator.py:42-51, filter/general_filter.py:62-70)."""
         return self.add(name, fn, input_keys, output_keys)
 
+    def sql(
+        self,
+        expr: str,
+        input_keys: Sequence[str],
+        output_keys: Sequence[str] = (),
+        view: str = "t",
+    ) -> "Pipeline":
+        """DBOperator analogue (reference operators/db/db_operator.py:7-32:
+        run a SQL expression against the storage backend). Here the
+        current DataFrame is registered as temp view ``view`` and the
+        expression runs through Catalyst — same declarative contract, no
+        storage round-trip."""
+
+        def run_sql(df: DataFrame) -> DataFrame:
+            df.createOrReplaceTempView(view)
+            return df.sparkSession.sql(expr)
+
+        return self.add(f"sql:{view}", run_sql, input_keys, output_keys)
+
     # ---- compile & run --------------------------------------------------
     def compile(self) -> "Pipeline":
         """Key-integrity validation, reference Pipeline.py:104-134 contract:

@@ -119,6 +119,53 @@ def test_execution_filter_duckdb_and_sqlite(spark):
     assert kept2 == [0, 2, 4]
 
 
+def test_difficulty_fuzz_batch(spark):
+    """300 seeded random SQL-ish strings (token soup incl. edge tokens the
+    scorer keys on) through Catalyst vs the kernel in one Spark pass."""
+    import random
+
+    rng = random.Random(73)
+    pool = (
+        "select from where and or join ( ) , * a b c t1 t2 group by having "
+        "order limit union intersect except cast round substring date coalesce "
+        "in exists like distinct with as = > < 1 2 'x' \n \t -- /* */"
+    ).split(" ")
+    cases = [
+        " ".join(rng.choice(pool) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, sql string"
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", sql_component_difficulty(F.col("sql")).alias("d")
+        ).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == _hardness_kernel(s), f"case {i}: {s!r}"
+
+
+def test_pipeline_sql_step(spark):
+    from dataflow_spark.pipeline import Pipeline
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id long, text string"
+    )
+    pipe = (
+        Pipeline(initial_keys=["doc_id", "text"])
+        .sql(
+            "SELECT doc_id, size(split(text, ' ')) AS n_words FROM t",
+            input_keys=["doc_id", "text"],
+            output_keys=["n_words"],
+        )
+        .compile()
+    )
+    out = {r.doc_id: r.n_words for r in pipe.run(df).collect()}
+    assert out == {1: 3, 2: 2, 3: 1}
+
+
 def test_entry_queries_deterministic(spark):
     """The pinned-template corpus construction is stable across runs."""
     from dataflow_spark.entry_queries import build_queries
