@@ -173,6 +173,60 @@ def read_db_paginated(
     )
 
 
+def write_db(
+    df: DataFrame,
+    make_conn,
+    table: str,
+    pipeline_id: str = "p0",
+    task_id: str = "t0",
+) -> int:
+    """DB write — MyScaleDBStorage.write analogue (storage.py:441-490):
+    non-system columns pack into a JSON ``data`` field, system columns
+    (pipeline_id, task_id, raw_data_id, min_hashes) fill in, rows
+    batch-INSERT through an ``executemany`` per Arrow batch over one
+    per-task DB-API connection (the reference's single
+    ``client.execute(insert_sql, values)``, parallelized per partition).
+    Returns the total row count written (this is an action)."""
+    cols = list(df.columns)
+
+    def write_part(batches):
+        import json as _json
+
+        import pandas as pd
+
+        conn = make_conn()
+        try:
+            n = 0
+            for pdf in batches:
+                rows = []
+                for rec in pdf.to_dict(orient="records"):
+                    data = {k: rec[k] for k in cols}
+                    raw_id = int(data.get("raw_data_id") or 0)
+                    rows.append(
+                        (
+                            pipeline_id,
+                            task_id,
+                            raw_id,
+                            "[0]",
+                            _json.dumps(data, ensure_ascii=False, default=str),
+                        )
+                    )
+                if rows:
+                    conn.executemany(
+                        f"INSERT INTO {table} (pipeline_id, task_id, raw_data_id,"
+                        " min_hashes, data) VALUES (?, ?, ?, ?, ?)",
+                        rows,
+                    )
+                    conn.commit()
+                    n += len(rows)
+            yield pd.DataFrame({"rows_written": [n]})
+        finally:
+            conn.close()
+
+    out = df.mapInPandas(write_part, schema="rows_written long")
+    return sum(r.rows_written for r in out.collect())
+
+
 def clean_surrogates(c) -> "F.Column":
     """Strip unpaired UTF-16 surrogate codepoints (FileStorage.write's
     invalid-unicode cleaning, storage.py:231-247) — native regexp."""

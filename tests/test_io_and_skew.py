@@ -157,3 +157,40 @@ def test_read_db_paginated_sqlite(spark, tmp_path):
     rows = filt.collect()
     assert sorted(r["id"] for r in rows) == [i for i in range(2345) if i % 3 == 0]
     assert all(r["pipeline_id"] == "p2" for r in rows)
+
+
+def test_write_db_sqlite_roundtrip(spark, tmp_path):
+    """MyScaleDBStorage.write analogue: non-system columns pack into the
+    JSON data field, system columns fill in, batch INSERT per partition;
+    read back and verify every payload survived."""
+    import json
+    import sqlite3
+
+    db = str(tmp_path / "sink.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE sink (pipeline_id TEXT, task_id TEXT, raw_data_id INT,"
+        " min_hashes TEXT, data TEXT)"
+    )
+    con.commit()
+    con.close()
+
+    from dataflow_spark.io import write_db
+
+    df = spark.createDataFrame(
+        [(i, f"text-{i}", i * 10) for i in range(57)],
+        "raw_data_id long, text string, score long",
+    ).coalesce(1)  # sqlite: single writer (real targets fan out per partition)
+    n = write_db(df, _sqlite_conn_factory(db), "sink", pipeline_id="pl", task_id="tk")
+    assert n == 57
+
+    con = sqlite3.connect(db)
+    back = con.execute(
+        "SELECT pipeline_id, task_id, raw_data_id, data FROM sink ORDER BY raw_data_id"
+    ).fetchall()
+    con.close()
+    assert len(back) == 57
+    for i, (pl, tk, rid, data) in enumerate(back):
+        assert (pl, tk, rid) == ("pl", "tk", i)
+        d = json.loads(data)
+        assert d["text"] == f"text-{i}" and d["score"] == i * 10
