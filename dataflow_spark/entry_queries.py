@@ -1996,6 +1996,31 @@ def _q_vendi(spark, sf):
     return spark.createDataFrame([(round(v, 6),)], "vendi_score double")
 
 
+def _q_vendi_gram(spark, sf):
+    """Exploded normalized Gram — the oracle-able intermediate of
+    vendi_score (everything except the eigendecomposition)."""
+    from dataflow_spark.operators.generate import vendi_gram
+
+    return vendi_gram(_t(spark, sf, "embeddings"), "embedding")
+
+
+_EXTRA_ORACLES["vendi_gram"] = """
+    WITH e AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+    u AS (SELECT list_transform(v, x -> x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END) AS v
+          FROM (SELECT v, sqrt(list_dot_product(v, v)) AS nrm FROM e)),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM e),
+    comp AS (
+      SELECT r.rid, s.k AS k, s.x AS x
+      FROM (SELECT row_number() OVER () AS rid, v FROM u) r,
+           LATERAL (SELECT unnest(range(1, len(r.v) + 1)) AS k,
+                           unnest(r.v) AS x) s)
+    SELECT CAST(a.k AS INT) AS i, CAST(b.k AS INT) AS j,
+           round(sum(a.x * b.x) / nd.n, 6) AS g
+    FROM comp a JOIN comp b USING (rid), nd
+    GROUP BY a.k, b.k, nd.n"""
+
+
 _STATS_ORACLES = {
     "text_stats": f"""
         WITH m AS (
@@ -2484,6 +2509,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "prompted_template": _q_prompted_template,
             "pretrain_format": _q_pretrain_format,
             "vendi_score": _q_vendi,
+            "vendi_gram": _q_vendi_gram,
             "extract_questions": _q_extract_questions,
             "answer_groundtruth_filter": _q_answer_groundtruth,
             "difficulty_classify": _q_difficulty_classify,

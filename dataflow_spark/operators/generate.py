@@ -75,3 +75,41 @@ def vendi_score(df: DataFrame, vec_col: str = "embedding") -> float:
     eig = eig / eig.sum()
     entropy = -(eig * np.log(eig)).sum()
     return float(np.exp(entropy))
+
+
+def vendi_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """The driver-verifiable intermediate of the Vendi pipeline: exploded
+    entries (i, j, g) of the normalized cosine Gram X^T X / n over
+    unit-normalized rows — everything in ``vendi_score`` EXCEPT the final
+    eigendecomposition, which is the one genuinely non-SQL step. A DuckDB
+    oracle checks the d x d matrix exactly, so the distributed partial-sum
+    machinery (the part that matters at scale) is independently verified."""
+    from pyspark.sql import types as T
+
+    dim = len(df.select(vec_col).first()[0])
+
+    def partials(batches):
+        acc = np.zeros((dim, dim))
+        n = 0
+        for pdf in batches:
+            mat = np.vstack(pdf[vec_col].values).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.where(norms == 0, 1.0, norms)
+            acc += mat.T @ mat
+            n += len(pdf)
+        yield pd.DataFrame({"g": [acc.reshape(-1).tolist()], "n": [n]})
+
+    schema = T.StructType(
+        [T.StructField("g", T.ArrayType(T.DoubleType())), T.StructField("n", T.LongType())]
+    )
+    parts = df.select(vec_col).mapInPandas(partials, schema=schema).collect()
+    total_n = sum(r["n"] for r in parts)
+    spark = df.sparkSession
+    if total_n == 0:
+        return spark.createDataFrame([], "i int, j int, g double")
+    gram = sum(np.array(r["g"]).reshape(dim, dim) for r in parts) / total_n
+    rows = [
+        (i + 1, j + 1, float(gram[i, j])) for i in range(dim) for j in range(dim)
+    ]
+    out = spark.createDataFrame(rows, "i int, j int, g double")
+    return out.select("i", "j", F.round("g", 6).alias("g"))
