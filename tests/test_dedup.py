@@ -157,3 +157,69 @@ def test_first_wins_respects_order_not_partitioning(spark, corpus_pdf):
     assert _kept_rids(D.dedup_minhash(df1, "rid")) == _kept_rids(
         D.dedup_minhash(df16, "rid")
     )
+
+
+def test_hot_bucket_all_identical_bounded(spark):
+    """Pathological LSH skew: 3000 byte-identical docs put EVERY band pair
+    into one bucket. The star-edge bucket-claim resolver must stay
+    O(members) per bucket (3k star edges), never materialize the 4.5M
+    all-pairs explosion, and keep exactly the smallest id."""
+    import time
+
+    from dataflow_spark.operators.dedup import dedup_minhash
+
+    rows = [(i, "the same near duplicate text repeated verbatim " * 8)
+            for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t0 = time.time()
+    kept = sorted(r.doc_id for r in dedup_minhash(df, "doc_id").collect())
+    dt = time.time() - t0
+    assert kept == [0]
+    # generous wall bound: the all-pairs plan blows past this by orders
+    # of magnitude; the star-edge plan finishes in a few seconds
+    assert dt < 120, f"hot-bucket resolve took {dt:.0f}s - pair explosion?"
+
+
+def test_assembly_hot_conversation(spark, tmp_path):
+    """Zipf-head conversation: one conv_id owning 20k turns must flow
+    through the stateful assembly without per-group state blowup and
+    assemble byte-identically to the pandas oracle."""
+    import os
+
+    import pandas as pd
+
+    from dataflow_spark.streaming.assembly import assemble_conversations
+    from dataflow_spark.streaming.source import file_stream
+    from tests import reference_kernels as RK
+
+    n = 20_000
+    import numpy as np
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["hot"] * n,
+            "turn_idx": np.arange(n, dtype="int32"),
+            "role": ["user" if i % 2 == 0 else "assistant" for i in range(n)],
+            "text": [f"turn {i}" for i in range(n)],
+            "tool": [""] * n,
+            "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(range(n), unit="s"),
+        }
+    )
+    src = str(tmp_path / "hot_src")
+    os.makedirs(src)
+    pdf.assign(ts=pdf.ts.astype("datetime64[us]")).to_parquet(
+        os.path.join(src, "p0.parquet"), index=False
+    )
+    q = (
+        assemble_conversations(file_stream(spark, src), gap_seconds=600,
+                               watermark="0 seconds")
+        .writeStream.format("memory").queryName("t_hot_conv")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(600)
+    got = spark.table("t_hot_conv").toPandas()
+    oracle = RK.assemble_sessions(pdf, gap_seconds=600)
+    m = oracle.merge(got, on=["conv_id", "session_start"], suffixes=("_o", "_s"))
+    assert len(m) == len(got) and len(got) >= len(oracle) - 1
+    assert (m.transcript_o == m.transcript_s).all()
