@@ -8,7 +8,11 @@ queries (shared source directory, independent checkpoints):
 2. **assembly** — session-window conversation assembly
    (applyInPandasWithState) → exactly-once sink on (conv_id, session_start);
 3. **pairs**   — stream-stream user↔response join → exactly-once sink on
-   (conv_id, user_turn_idx, resp_turn_idx).
+   (conv_id, user_turn_idx, resp_turn_idx);
+4. **dedup**   — incremental MinHash first-wins near-dedup (band state on
+   disk, commit-log replay safety) → exactly-once sink on
+   (conv_id, turn_idx); first-wins priority is a deterministic long key
+   (hash(conv_id) high bits, turn_idx low bits).
 
 A JsonlMetricsListener records per-batch progress; each sink records
 per-batch per-partition lineage. Everything restarts from checkpoints.
@@ -54,6 +58,9 @@ class TranscriptsApp:
             os.path.join(self.out_dir, "pairs"),
             keys=("conv_id", "user_turn_idx", "resp_turn_idx"),
         )
+        self.dedup_sink = KeyedMergeSink(
+            os.path.join(self.out_dir, "deduped"), keys=("conv_id", "turn_idx")
+        )
 
     def start(self, spark: SparkSession, available_now: bool = True):
         listener = JsonlMetricsListener(os.path.join(self.out_dir, "metrics.jsonl"))
@@ -92,7 +99,36 @@ class TranscriptsApp:
             .trigger(**trigger)
             .start()
         )
-        return [q1, q2, q3]
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.streaming.dedup import StreamingFirstWinsDedup
+
+        self._dedup = StreamingFirstWinsDedup(
+            os.path.join(self.out_dir, "dedup_state"),
+            order_col="__ord",
+            ts_col="ts",
+            downstream=lambda df, b: self.dedup_sink.foreach_batch(
+                df.drop("__ord"), b
+            ),
+        )
+        # first-wins priority key: deterministic long (hash(conv_id) high
+        # bits, turn_idx low bits) — earlier turns of a conversation win
+        # over later ones; across conversations the order is
+        # deterministic-by-hash (the reference's "arrival order" — supply a
+        # real arrival rid column instead when the source carries one)
+        refined = apply_refiners(stream(), self.refiners).withColumn(
+            "__ord",
+            (F.abs(F.xxhash64("conv_id")) % F.lit(2**42)) * F.lit(2**20)
+            + (F.col("turn_idx").cast("long") % F.lit(2**20)),
+        )
+        q4 = (
+            refined.writeStream.queryName("dedup")
+            .foreachBatch(self._dedup.process_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "ck_dedup"))
+            .trigger(**trigger)
+            .start()
+        )
+        return [q1, q2, q3, q4]
 
     def run_to_completion(self, spark: SparkSession, timeout: int = 600):
         queries = self.start(spark, available_now=True)
@@ -102,4 +138,5 @@ class TranscriptsApp:
             "clean_rows": sum(r["rows"] for r in self.clean_sink.lineage()),
             "conversations": sum(r["rows"] for r in self.assembly_sink.lineage()),
             "pairs": sum(r["rows"] for r in self.pairs_sink.lineage()),
+            "deduped": sum(r["rows"] for r in self.dedup_sink.lineage()),
         }

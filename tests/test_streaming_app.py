@@ -15,6 +15,12 @@ def test_transcripts_app_end_to_end(spark, tmp_path):
     assert counts["clean_rows"] > 0
     assert counts["conversations"] > 0
     assert counts["pairs"] > 0
+    # the dedup leg keeps at most the input and drops the dirty-corpus
+    # near-duplicates (datagen plants verbatim repeats)
+    assert 0 < counts["deduped"] <= 4000
+    dd = app.dedup_sink.read_table(spark).toPandas()
+    assert dd.duplicated(["conv_id", "turn_idx"]).sum() == 0
+    assert counts["deduped"] == len(dd)
 
     # sinks are key-unique merged tables
     clean = app.clean_sink.read_table(spark)
@@ -32,6 +38,6 @@ def test_transcripts_app_end_to_end(spark, tmp_path):
     assert any(r["num_input_rows"] > 0 for r in progress)
 
     # per-partition lineage in every sink
-    for sink in (app.clean_sink, app.assembly_sink, app.pairs_sink):
+    for sink in (app.clean_sink, app.assembly_sink, app.pairs_sink, app.dedup_sink):
         lin = sink.lineage()
         assert lin and all("partition_rows" in r for r in lin)
