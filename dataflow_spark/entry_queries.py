@@ -91,6 +91,23 @@ def _pii_oracle_expr() -> str:
 _REFINER_ORACLES["redact_pii"] = _pii_oracle_expr()
 
 
+def _html_md_oracle_expr(src: str = "text") -> str:
+    # chained regexp_replace from the SAME rule table as the engine
+    # (functions/text.HTML_MD_RULES); RE2 replacement syntax (\1) is
+    # already what the table stores
+    from dataflow_spark.functions.text import HTML_MD_RULES
+
+    expr = src
+    for pat, rep in HTML_MD_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return expr
+
+
+_REFINER_ORACLES["html_to_markdown"] = _html_md_oracle_expr()
+
+
 def _lemma_oracle_expr() -> str:
     from dataflow_spark.functions.lemmatizer import oracle_sql_expr
 
@@ -2434,6 +2451,40 @@ _EXTRA_ORACLES["sql_execution_filter"] = f"""
     WHERE (doc_id % {len(_SQL_EXEC_TEMPLATES)}) IN {tuple(_SQL_EXEC_VALID)}"""
 
 
+def _q_html_to_markdown_doc(spark, sf):
+    """FileOrURLToMarkdownConverter text path over genuinely HTML-shaped
+    input: each document wrapped in a deterministic HTML scaffold
+    (heading, paragraph, entity, list, bold, link) so every rule family
+    actually fires — the plain refine_html_to_markdown row only sees the
+    raw corpus."""
+    from dataflow_spark.functions.refiners import REFINERS
+
+    docs = _t(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    wrapped = F.concat(
+        F.lit("<h1>Doc "), i, F.lit("</h1><p>"),
+        F.coalesce("text", F.lit("")),
+        F.lit('</p><ul><li>a &amp; b</li><li><b>bold</b> '
+              '<a href="http://ex.com/'), i, F.lit('">link</a></li></ul>'),
+    )
+    return docs.select(
+        "doc_id", REFINERS["html_to_markdown"].native(wrapped).alias("text")
+    )
+
+
+_HTML_WRAP_SQL = (
+    "('<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>' ||"
+    " coalesce(text, '') ||"
+    " '</p><ul><li>a &amp; b</li><li><b>bold</b> "
+    '<a href="http://ex.com/\' || CAST(doc_id AS VARCHAR) ||'
+    " '\">link</a></li></ul>')"
+)
+
+_EXTRA_ORACLES["html_to_markdown_doc"] = f"""
+    SELECT doc_id, {_html_md_oracle_expr(_HTML_WRAP_SQL)} AS text
+    FROM documents"""
+
+
 # --------------------------------------------------------------- multimodal
 
 def _q_multimodal_features(spark, sf):
@@ -2482,6 +2533,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "multimodal_features": _q_multimodal_features,
             "sql_component_classify": _q_sql_component_classify,
             "sql_execution_filter": _q_sql_execution_filter,
+            "html_to_markdown_doc": _q_html_to_markdown_doc,
             "split_chars": _q_split_chars,
             "split_words": _q_split_words,
             "split_sentences": _q_split_sentences,

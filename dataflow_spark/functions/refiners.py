@@ -330,6 +330,24 @@ def _n_lemmatize(c: Column) -> Column:
     return native(c)
 
 
+def _k_html_to_markdown(s: pd.Series) -> pd.Series:
+    # FileOrURLToMarkdownConverter text path, deterministic subset (see
+    # text.HTML_MD_RULES — the one table that also drives the native and
+    # DuckDB-oracle implementations)
+    out = s
+    for pat, rep in X.HTML_MD_RULES:
+        out = out.str.replace(pat, rep, regex=True)
+    return out
+
+
+def _n_html_to_markdown(c: Column) -> Column:
+    out = c
+    for pat, rep in X.HTML_MD_RULES:
+        # Python group syntax \1 -> Java replacement syntax $1
+        out = F.regexp_replace(out, pat, re.sub(r"\\(\d)", r"$\1", rep))
+    return out
+
+
 def _k_spelling(s: pd.Series) -> pd.Series:
     # reference SpellingCorrectionRefiner.spelling_checks
     # (spelling_correction_refiner.py:86-94) — symspell lookup per token
@@ -383,6 +401,9 @@ REFINERS: dict[str, Refiner] = {
         Refiner("spelling", _k_spelling, None,
                 "SymSpell CLOSEST-verbosity correction per lowercase token "
                 "(pinned frequency dictionary, deletes index, OSA verify)"),
+        Refiner("html_to_markdown", _k_html_to_markdown, _n_html_to_markdown,
+                "HTML -> markdown (headings/links/emphasis/lists/entities; "
+                "deterministic FileOrURLToMarkdownConverter text path)"),
     ]
 }
 

@@ -95,3 +95,54 @@ def tokens(s: pd.Series) -> pd.Series:
 
 def token_count(s: pd.Series) -> pd.Series:
     return tokens(s).str.len().fillna(0).astype("int64")
+
+
+# ------------------------------------------------------- html -> markdown
+
+# One ordered rule table drives all three implementations of the
+# html_to_markdown refiner (pandas kernel via re.sub, Catalyst native via
+# regexp_replace with $-group syntax, DuckDB oracle via regexp_replace
+# with \-group syntax). Replacements below use PYTHON group syntax (\1);
+# the Catalyst builder rewrites to $1. Deterministic subset of the
+# reference FileOrURLToMarkdownConverter's text path (the PDF/OCR paths
+# need external engines and stay a documented seam).
+HTML_MD_RULES: list[tuple[str, str]] = [
+    # drop non-content blocks entirely
+    (r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
+    (r"(?is)<style\b[^>]*>.*?</style\s*>", ""),
+    (r"(?is)<!--.*?-->", ""),
+    # line structure
+    (r"(?is)<br\s*/?>", "\n"),
+    (r"(?is)</p\s*>", "\n\n"),
+    (r"(?is)<p\b[^>]*>", ""),
+    # headings (explicit per level: '#'*n is not regex-expressible)
+    (r"(?is)<h1\b[^>]*>", "\n\n# "),
+    (r"(?is)<h2\b[^>]*>", "\n\n## "),
+    (r"(?is)<h3\b[^>]*>", "\n\n### "),
+    (r"(?is)<h4\b[^>]*>", "\n\n#### "),
+    (r"(?is)<h5\b[^>]*>", "\n\n##### "),
+    (r"(?is)<h6\b[^>]*>", "\n\n###### "),
+    (r"(?is)</h[1-6]\s*>", "\n\n"),
+    # inline markup BEFORE the generic tag strip
+    (r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>', r"[\2](\1)"),
+    (r"(?is)<(?:b|strong)\b[^>]*>(.*?)</(?:b|strong)\s*>", r"**\1**"),
+    (r"(?is)<(?:i|em)\b[^>]*>(.*?)</(?:i|em)\s*>", r"*\1*"),
+    (r"(?is)<code\b[^>]*>(.*?)</code\s*>", r"`\1`"),
+    # lists
+    (r"(?is)<li\b[^>]*>", "\n- "),
+    (r"(?is)</li\s*>", ""),
+    (r"(?is)</?(?:ul|ol)\b[^>]*>", "\n"),
+    # everything else: strip the tag, keep the text
+    (r"(?is)<[^>]+>", ""),
+    # entities AFTER tag handling (so &lt; can't fabricate tags)
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"&quot;", '"'),
+    (r"&#39;", "'"),
+    # whitespace normalization
+    (r"[ \t]+\n", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^\s+|\s+$", ""),
+]

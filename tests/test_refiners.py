@@ -151,3 +151,23 @@ def test_split_semantic_groups_cohesive_sentences(spark):
     assert "cat" in c0[0] and "quantum" in c0[1]
     assert out[out.doc_id == 2].chunk.tolist() == ["one sentence."]
     assert 1 not in set(out.doc_id)
+
+
+def test_html_to_markdown_canonical():
+    import pandas as pd
+
+    from dataflow_spark.functions.refiners import REFINERS
+
+    cases = [
+        ("<h2>Title</h2><p>Hello <b>world</b> &amp; friends</p>",
+         "## Title\n\nHello **world** & friends"),
+        ("<ul><li>one</li><li><i>two</i></li></ul>", "- one\n- *two*"),
+        ('before <a href="http://x.y/z">click</a> after',
+         "before [click](http://x.y/z) after"),
+        ("<script>evil()</script>keep<style>p{}</style>", "keep"),
+        ("a<br>b<br/>c", "a\nb\nc"),
+        ("<code>x=1</code> and <!-- hidden -->text", "`x=1` and text"),
+        ("plain text is untouched", "plain text is untouched"),
+    ]
+    got = REFINERS["html_to_markdown"].kernel(pd.Series([c for c, _ in cases]))
+    assert got.tolist() == [e for _, e in cases]
