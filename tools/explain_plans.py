@@ -23,6 +23,9 @@ HEADLINE = [
     "bm25_topk",
     "dedup_minhash_lsh",
     "split_semantic",
+    "sql_component_classify",
+    "html_to_markdown_doc",
+    "kcenter_select",
 ]
 
 
