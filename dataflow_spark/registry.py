@@ -73,9 +73,19 @@ def _build() -> dict[str, Callable]:
             "select.kcenter": select_diverse,
         }
     )
-    from dataflow_spark.operators.text2sql import sql_execution_filter
+    from dataflow_spark.operators.text2sql import (
+        sql_component_difficulty,
+        sql_execution_filter,
+    )
 
     reg["text2sql.execution_filter"] = sql_execution_filter
+
+    def _difficulty_op(df: DataFrame, col: str = "sql", out: str = "difficulty"):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(out, sql_component_difficulty(F.col(col)))
+
+    reg["text2sql.difficulty"] = _difficulty_op
     return reg
 
 
