@@ -104,8 +104,10 @@ def token_count(s: pd.Series) -> pd.Series:
 # regexp_replace with $-group syntax, DuckDB oracle via regexp_replace
 # with \-group syntax). Replacements below use PYTHON group syntax (\1);
 # the Catalyst builder rewrites to $1. Deterministic subset of the
-# reference FileOrURLToMarkdownConverter's text path (the PDF/OCR paths
-# need external engines and stay a documented seam).
+# reference FileOrURLToMarkdownConverter's text/HTML path
+# (knowledge_cleaning/generate/file_or_url_to_markdown_converter.py:150 —
+# its PDF/OCR branches call external engines (MinerU/trafilatura) and stay
+# a documented seam).
 HTML_MD_RULES: list[tuple[str, str]] = [
     # drop non-content blocks entirely
     (r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
