@@ -171,3 +171,41 @@ def test_html_to_markdown_canonical():
     ]
     got = REFINERS["html_to_markdown"].kernel(pd.Series([c for c, _ in cases]))
     assert got.tolist() == [e for _, e in cases]
+
+
+def test_html_to_markdown_fuzz_batch(spark):
+    """300 seeded random tag-soup strings (unclosed tags, nested markup,
+    entities, comments, attribute junk) through the Catalyst chain vs the
+    pandas kernel in one Spark pass — guards Java-vs-Python regex
+    divergence in the new rule table."""
+    import random
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.refiners import REFINERS
+
+    rng = random.Random(41)
+    pool = [
+        "<h1>", "</h1>", "<h3 class='x'>", "</h3>", "<p>", "</p>", "<br>",
+        "<br/>", "<b>", "</b>", "<strong>", "</strong>", "<i>", "</i>",
+        "<em>", "</em>", "<code>", "</code>", "<ul>", "</ul>", "<li>",
+        "</li>", '<a href="http://x.y/z">', "</a>", "<script>", "</script>",
+        "<style>", "</style>", "<!--", "-->", "<div id=1>", "</div>",
+        "&amp;", "&lt;", "&gt;", "&quot;", "&#39;", "&nbsp;", "text", "word",
+        " ", "\n", "\t", "<", ">", '"', "'",
+    ]
+    cases = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    kernel = REFINERS["html_to_markdown"].kernel(pd.Series(cases)).tolist()
+    df = spark.createDataFrame([(i, c) for i, c in enumerate(cases)], "i long, t string")
+    native = {
+        r.i: r.o
+        for r in df.select(
+            "i", REFINERS["html_to_markdown"].native(F.col("t")).alias("o")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert native[i] == kernel[i], f"case {i}: {c!r}"
