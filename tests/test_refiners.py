@@ -209,3 +209,35 @@ def test_html_to_markdown_fuzz_batch(spark):
     }
     for i, c in enumerate(cases):
         assert native[i] == kernel[i], f"case {i}: {c!r}"
+
+
+def test_html_to_markdown_fuzz_duckdb():
+    """The same tag-soup fuzz against the DuckDB transcription of the rule
+    table (the driver-oracle path) — RE2 vs Python regex agreement."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from dataflow_spark.entry_queries import _html_md_oracle_expr
+    from dataflow_spark.functions.refiners import REFINERS
+
+    rng = random.Random(42)
+    pool = [
+        "<h2>", "</h2>", "<p>", "</p>", "<br/>", "<b>", "</b>", "<em>",
+        "</em>", "<code>", "</code>", "<li>", "</li>", "<ul>", "</ul>",
+        '<a href="http://q.r/s">', "</a>", "<script>", "</script>", "<!--",
+        "-->", "&amp;", "&lt;", "&nbsp;", "txt", " ", "\n", "<", ">",
+    ]
+    cases = [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    kernel = REFINERS["html_to_markdown"].kernel(pd.Series(cases)).tolist()
+    con = duckdb.connect()
+    con.register("cases_df", pd.DataFrame({"text": cases}))
+    duck = con.execute(
+        f"SELECT {_html_md_oracle_expr('text')} AS o FROM cases_df"
+    ).df()["o"].tolist()
+    for i, c in enumerate(cases):
+        assert duck[i] == kernel[i], f"case {i}: {c!r}"
