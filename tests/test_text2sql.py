@@ -174,3 +174,32 @@ def test_entry_queries_deterministic(spark):
     a = q(spark, "/root/testdata/sf0.001").toPandas().sort_values("doc_id")
     b = q(spark, "/root/testdata/sf0.001").toPandas().sort_values("doc_id")
     assert a.equals(b)
+
+
+def test_difficulty_fuzz_duckdb():
+    """The driver-oracle transcription (_duck_sql_difficulty) against the
+    sequential kernel on the same seeded token soup."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from dataflow_spark.entry_queries import _duck_sql_difficulty
+
+    rng = random.Random(74)
+    pool = (
+        "select from where and or join ( ) , * a b t1 t2 group by having "
+        "order limit union intersect except cast round substring date coalesce "
+        "in exists like distinct with as = 1 'x' \n -- /* */"
+    ).split(" ")
+    cases = [
+        " ".join(rng.choice(pool) for _ in range(rng.randrange(0, 30)))
+        for _ in range(300)
+    ]
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame({"sql": cases}))
+    duck = con.execute(
+        f"SELECT {_duck_sql_difficulty('lower(sql)')} AS d FROM c"
+    ).df()["d"].tolist()
+    for i, s in enumerate(cases):
+        assert duck[i] == _hardness_kernel(s), f"case {i}: {s!r}"
