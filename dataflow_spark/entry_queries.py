@@ -400,10 +400,20 @@ def _q_dedup_ngram_jaccard(spark, sf):
 
 
 def _q_dedup_embedding(spark, sf):
+    """The synthetic embeddings carry no pair above the 0.97 threshold, so
+    the raw table would exercise neither the verify nor the greedy resolve
+    (a vacuous gate row). Plant exact duplicates (vec_id + 100000, same
+    vector) for vec_id < 25 — first-wins must keep every original and drop
+    every plant, and the oracle re-derives that from the same augmented
+    input."""
     df = _t(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return D.dedup_embedding_cosine(df, "vec_id", threshold=0.97, dim=64).select("vec_id")
+    plants = df.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = df.unionByName(plants)
+    return D.dedup_embedding_cosine(aug, "vec_id", threshold=0.97, dim=64).select("vec_id")
 
 
 # ---------------------------------------------- near-dup dedup DuckDB oracles
@@ -571,13 +581,17 @@ ch AS (
 
 
 def _embedding_cosine_oracle(
-    threshold: float = 0.97, n_planes: int = 12, n_tables: int = 3, dim: int = 64
+    threshold: float = 0.97,
+    n_planes: int = 12,
+    n_tables: int = 3,
+    dim: int = 64,
+    src: str = "embeddings",
 ) -> str:
     thr_bp = int(round(threshold * 10_000))
     prelude = f"""qv AS (
   SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
                                 e -> CAST(floor(e * 1000000) AS BIGINT)) AS q
-  FROM embeddings),
+  FROM {src}),
 pl AS (
   SELECT a.t, b.p, c.d,
          CASE WHEN substr(md5(a.t || ':' || b.p || ':' || c.d), 1, 1)
@@ -602,7 +616,7 @@ pv AS (SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS nn FROM qv)"
         JOIN pv a ON a.vec_id = c0.src
         JOIN pv b ON b.vec_id = c0.dst)
       WHERE dot > 0 AND dot * dot * 100000000 >= {thr_bp * thr_bp} * na * nb"""
-    final = """SELECT d.vec_id FROM embeddings d
+    final = f"""SELECT d.vec_id FROM {src} d
 WHERE d.vec_id NOT IN (SELECT id FROM scan)
    OR list_contains((SELECT kept FROM fk), d.vec_id)"""
     return _greedy_dedup_oracle(prelude, edges, final)
@@ -2018,7 +2032,7 @@ def _q_vendi_gram(spark, sf):
     vendi_score (everything except the eigendecomposition)."""
     from dataflow_spark.operators.generate import vendi_gram
 
-    return vendi_gram(_t(spark, sf, "embeddings"), "embedding")
+    return vendi_gram(_t(spark, sf, "embeddings"), "embedding", dim=64)
 
 
 _EXTRA_ORACLES["vendi_gram"] = """
@@ -2615,7 +2629,12 @@ def build_oracles() -> dict[str, str]:
     o["dedup_simhash"] = _simhash_oracle()
     o["dedup_ngram_chunks"] = _ngram_chunks_oracle()
     o["dedup_ngram_jaccard"] = _ngram_jaccard_oracle(0.8)
-    o["dedup_embedding_cosine"] = _embedding_cosine_oracle(0.97)
+    o["dedup_embedding_cosine"] = _embedding_cosine_oracle(
+        0.97,
+        src="(SELECT vec_id, embedding FROM embeddings UNION ALL "
+        "SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings "
+        "WHERE vec_id < 25)",
+    )
     for name, sql in _SCORER_ORACLES.items():
         o[name] = sql
     o.update(_WINDOW_ORACLES)

@@ -135,9 +135,12 @@ def read_db_paginated(
     LIMIT page_size OFFSET page*page_size`` inside ``mapInPandas``.
     ``order_col`` is required when the source engine does not guarantee a
     stable scan order (OFFSET without ORDER BY is engine-dependent — the
-    reference inherits ClickHouse's stable parts order); the WHERE clause
-    is pushed into every page query, so source-side predicate pruning
-    happens before rows ever reach Spark."""
+    reference inherits ClickHouse's stable parts order), and it must be
+    UNIQUE: each page runs as an independent query, and ties spanning a
+    page boundary are ordered arbitrarily per execution, duplicating some
+    rows and dropping others. The WHERE clause is pushed into every page
+    query, so source-side predicate pruning happens before rows ever
+    reach Spark."""
     where = f" WHERE {where_sql}" if where_sql else ""
     order = f" ORDER BY {order_col}" if order_col else ""
     conn = make_conn()
@@ -186,7 +189,14 @@ def write_db(
     batch-INSERT through an ``executemany`` per Arrow batch over one
     per-task DB-API connection (the reference's single
     ``client.execute(insert_sql, values)``, parallelized per partition).
-    Returns the total row count written (this is an action)."""
+    Returns the total row count written (this is an action).
+
+    Delivery is AT-LEAST-ONCE: a task retry or speculative duplicate
+    re-runs already-committed batches, so the target table (or a
+    downstream view) must dedupe on its natural key — e.g. make
+    (pipeline_id, task_id, raw_data_id) a primary/merge key, exactly the
+    contract ``streaming.sink.KeyedMergeSink`` implements for files. Run
+    with ``spark.speculation=false`` when the target cannot dedupe."""
     cols = list(df.columns)
 
     def write_part(batches):

@@ -839,15 +839,30 @@ def dedup_embedding_cosine(
     )
     payload = df.select(F.col(order_col).alias("id"), quant_udf(F.col(vec_col)).alias("data"))
 
+    # int64 np.dot is exact while every |component| <= _SAFE_Q (then
+    # dim * q^2 < 2^63); unit-ish embeddings quantized at 1e6 sit 2-3
+    # orders below that. The object-dtype path is the arbitrary-magnitude
+    # fallback — exact but ~50x slower in the greedy verify loop.
+    _SAFE_Q = int(((1 << 62) // max(dim, 1)) ** 0.5)
+
+    def _exact_dot(qa: np.ndarray, qb: np.ndarray) -> int:
+        if not qa.size:
+            return 0
+        if (
+            np.abs(qa).max(initial=0) <= _SAFE_Q
+            and np.abs(qb).max(initial=0) <= _SAFE_Q
+        ):
+            return int(np.dot(qa, qb))
+        return int((qa.astype(object) * qb.astype(object)).sum())
+
     def prepare(v) -> tuple:
         q = np.asarray(v, dtype=np.int64)
-        # exact squared norm as a Python int (object-dtype sum never wraps)
-        return q, int((q.astype(object) * q.astype(object)).sum()) if q.size else 0
+        return q, _exact_dot(q, q)
 
     def cos_ok(a: tuple, b: tuple) -> bool:
         qa, na = a
         qb, nb = b
-        dot = int((qa.astype(object) * qb.astype(object)).sum()) if qa.size else 0
+        dot = _exact_dot(qa, qb)
         if dot <= 0:
             return False
         return dot * dot * 100_000_000 >= thr_bp * thr_bp * na * nb

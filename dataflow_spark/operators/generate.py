@@ -77,16 +77,20 @@ def vendi_score(df: DataFrame, vec_col: str = "embedding") -> float:
     return float(np.exp(entropy))
 
 
-def vendi_gram(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def vendi_gram(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> DataFrame:
     """The driver-verifiable intermediate of the Vendi pipeline: exploded
     entries (i, j, g) of the normalized cosine Gram X^T X / n over
     unit-normalized rows — everything in ``vendi_score`` EXCEPT the final
     eigendecomposition, which is the one genuinely non-SQL step. A DuckDB
     oracle checks the d x d matrix exactly, so the distributed partial-sum
-    machinery (the part that matters at scale) is independently verified."""
+    machinery (the part that matters at scale) is independently verified.
+    Pass ``dim`` — the fallback probe launches an extra driver job."""
     from pyspark.sql import types as T
 
-    dim = len(df.select(vec_col).first()[0])
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
 
     def partials(batches):
         acc = np.zeros((dim, dim))

@@ -29,6 +29,13 @@ def kcenter_greedy(
 
     Deterministic: starts from ``start_id`` (default: smallest id); ties on
     distance break toward the smallest id.
+
+    Cross-engine caveat: the argmax compares float64 distances whose
+    summation order differs between numpy (pairwise/SIMD) and a SQL
+    replay (sequential) — the DuckDB oracle agrees because real embedding
+    corpora keep the top-2 gap far above the ~1e-15 relative
+    summation-order noise; adversarially near-tied inputs would need the
+    quantized-integer-distance formulation used by dedup_embedding_cosine.
     """
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")

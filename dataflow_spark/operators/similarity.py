@@ -126,7 +126,13 @@ def ann_topk_lsh(
 ) -> DataFrame:
     """Approximate cosine top-k via sign-LSH buckets (multi-probe on the
     query side only). Output schema matches ann_topk_bruteforce. Pass
-    ``dim`` — the fallback probe launches an extra driver job per call."""
+    ``dim`` — the fallback probe launches an extra driver job per call.
+
+    Cross-engine caveat: bucket bits are signs of float64 dot products;
+    a projection within ~1e-15 of zero could flip between numpy and a SQL
+    replay (summation order). Real vectors keep projections far from
+    zero; the integer-exact formulation lives in dedup_embedding_cosine.
+    """
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(n_tables, n_planes, dim, seed)

@@ -11,8 +11,9 @@ queries (shared source directory, independent checkpoints):
    (conv_id, user_turn_idx, resp_turn_idx);
 4. **dedup**   — incremental MinHash first-wins near-dedup (band state on
    disk, commit-log replay safety) → exactly-once sink on
-   (conv_id, turn_idx); first-wins priority is a deterministic long key
-   (hash(conv_id) high bits, turn_idx low bits).
+   (conv_id, turn_idx); first-wins priority/identity is
+   xxhash64(conv_id, turn_idx) — deterministic; supply a real arrival rid
+   at extreme scale.
 
 A JsonlMetricsListener records per-batch progress; each sink records
 per-batch per-partition lineage. Everything restarts from checkpoints.
@@ -111,15 +112,15 @@ class TranscriptsApp:
                 df.drop("__ord"), b
             ),
         )
-        # first-wins priority key: deterministic long (hash(conv_id) high
-        # bits, turn_idx low bits) — earlier turns of a conversation win
-        # over later ones; across conversations the order is
-        # deterministic-by-hash (the reference's "arrival order" — supply a
-        # real arrival rid column instead when the source carries one)
+        # first-wins priority/identity key: xxhash64 over the natural key —
+        # deterministic, no modulo wrap (a truncated-hash*2^20+turn_idx
+        # scheme both conflated 42-bit hash collisions and INVERTED
+        # first-wins once turn_idx wrapped 2^20). 64-bit collisions conflate
+        # two rows' dedup identity with p ~ n^2/2^65 — negligible at test
+        # scale; at 10^12 turns supply a real arrival rid column instead
+        # (the reference's order is arrival order anyway).
         refined = apply_refiners(stream(), self.refiners).withColumn(
-            "__ord",
-            (F.abs(F.xxhash64("conv_id")) % F.lit(2**42)) * F.lit(2**20)
-            + (F.col("turn_idx").cast("long") % F.lit(2**20)),
+            "__ord", F.xxhash64("conv_id", "turn_idx")
         )
         q4 = (
             refined.writeStream.queryName("dedup")

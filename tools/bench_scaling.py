@@ -140,8 +140,10 @@ def main() -> None:
                 eff(f"{leg}_turns_per_sec") / ceiling, 3
             )
     print(json.dumps(report))
-    if {"batch", "stream", "assembly"} - set(args.modes.split(",")):
-        return  # knob probe — don't overwrite the headline BASELINE.md
+    if {"batch", "stream", "assembly"} - set(args.modes.split(",")) or os.environ.get(
+        "DFS_EXTRA_CONFS"
+    ):
+        return  # knob probe / non-baseline confs — don't overwrite BASELINE.md
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
