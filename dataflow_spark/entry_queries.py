@@ -366,12 +366,32 @@ def _q_dedup_exact_md5(spark, sf):
     return D.dedup_exact(df, ["text"], "doc_id", algo="md5")
 
 
-def _q_dedup_ccnet(spark, sf):
-    # md5-prefix analogue of ccnet's sha1-64bit so DuckDB can oracle it
-    # (DuckDB 1.0 lacks sha1; engine also ships the true sha1 variant).
+def _q_dedup_ccnet_twin_md5(spark, sf):
+    # TWIN, not the real thing: md5-prefix analogue of ccnet's sha1-64bit
+    # first-wins machinery, named so the green row says what it checks
+    # (DuckDB 1.0 lacks sha1 and its crypto extension needs network; the
+    # engine's true sha1 path dedup_exact(algo="ccnet") is pytest-verified
+    # in test_dedup, and dedup_ccnet_sha256_64 oracles a REAL crypto hash).
     df = _t(spark, sf, "documents").select("doc_id", "text")
     tagged = df.withColumn(
         "__h", F.substring(F.md5(F.concat_ws("\n", F.coalesce("text", F.lit("")))), 1, 16)
+    )
+    win = tagged.groupBy("__h").agg(
+        F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("row")
+    )
+    return win.select("row.*")
+
+
+def _q_dedup_ccnet_sha256_64(spark, sf):
+    # The ccnet 64-bit-hash-prefix first-wins shape over a real
+    # cryptographic hash BOTH engines implement natively: Spark sha2(·,256)
+    # vs DuckDB sha256(·), first 16 hex chars = 64 bits — exercises the
+    # exact machinery of ccnet_deduplicator.py:9-39 end-to-end with an
+    # independent oracle (sha1 itself has no DuckDB twin in this container).
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    tagged = df.withColumn(
+        "__h",
+        F.substring(F.sha2(F.concat_ws("\n", F.coalesce("text", F.lit(""))), 256), 1, 16),
     )
     win = tagged.groupBy("__h").agg(
         F.min_by(F.struct("doc_id", "text"), F.col("doc_id")).alias("row")
@@ -2023,7 +2043,7 @@ def _q_vendi(spark, sf):
     from dataflow_spark.operators.generate import vendi_score
 
     emb = _t(spark, sf, "embeddings")
-    v = vendi_score(emb, "embedding")
+    v = vendi_score(emb, "embedding", dim=64)
     return spark.createDataFrame([(round(v, 6),)], "vendi_score double")
 
 
@@ -2521,7 +2541,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         {
             "dedup_exact_md5": _q_dedup_exact_md5,
-            "dedup_ccnet_md5_64": _q_dedup_ccnet,
+            "dedup_ccnet_twin_md5": _q_dedup_ccnet_twin_md5,
+            "dedup_ccnet_sha256_64": _q_dedup_ccnet_sha256_64,
             "dedup_minhash_lsh": _q_dedup_minhash,
             "dedup_simhash": _q_dedup_simhash,
             "dedup_ngram_chunks": _q_dedup_ngram_chunks,
@@ -2615,10 +2636,17 @@ def build_oracles() -> dict[str, str]:
                                     ORDER BY doc_id) AS rn
           FROM documents)
         SELECT doc_id, text FROM r WHERE rn = 1"""
-    o["dedup_ccnet_md5_64"] = """
+    o["dedup_ccnet_twin_md5"] = """
         WITH r AS (
           SELECT doc_id, text,
                  row_number() OVER (PARTITION BY substr(md5(coalesce(text, '')), 1, 16)
+                                    ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, text FROM r WHERE rn = 1"""
+    o["dedup_ccnet_sha256_64"] = """
+        WITH r AS (
+          SELECT doc_id, text,
+                 row_number() OVER (PARTITION BY substr(sha256(coalesce(text, '')), 1, 16)
                                     ORDER BY doc_id) AS rn
           FROM documents)
         SELECT doc_id, text FROM r WHERE rn = 1"""

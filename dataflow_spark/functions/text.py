@@ -136,13 +136,15 @@ HTML_MD_RULES: list[tuple[str, str]] = [
     (r"(?is)</?(?:ul|ol)\b[^>]*>", "\n"),
     # everything else: strip the tag, keep the text
     (r"(?is)<[^>]+>", ""),
-    # entities AFTER tag handling (so &lt; can't fabricate tags)
+    # entities AFTER tag handling (so &lt; can't fabricate tags); &amp;
+    # decodes LAST so double-escaped text ('&amp;lt;') yields the literal
+    # '&lt;' exactly as html.unescape / browsers do
     (r"&nbsp;", " "),
-    (r"&amp;", "&"),
     (r"&lt;", "<"),
     (r"&gt;", ">"),
     (r"&quot;", '"'),
     (r"&#39;", "'"),
+    (r"&amp;", "&"),
     # whitespace normalization
     (r"[ \t]+\n", "\n"),
     (r"\n{3,}", "\n\n"),

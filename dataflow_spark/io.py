@@ -123,6 +123,7 @@ def read_db_paginated(
     where_sql: str = "",
     order_col: str | None = None,
     columns: str = "*",
+    keyset: bool = False,
 ) -> DataFrame:
     """Paginated DB scan — MyScaleDBStorage.read analogue (storage.py:
     341-490; the LIMIT/OFFSET page construction is :405-415), parallelized
@@ -140,8 +141,35 @@ def read_db_paginated(
     page boundary are ordered arbitrarily per execution, duplicating some
     rows and dropping others. The WHERE clause is pushed into every page
     query, so source-side predicate pruning happens before rows ever
-    reach Spark."""
+    reach Spark.
+
+    SNAPSHOT CONTRACT (default OFFSET mode): each page is an independent
+    query/transaction, so concurrent inserts or deletes shift LIMIT/OFFSET
+    boundaries *between* page fetches and silently duplicate or drop rows
+    even with a unique ``order_col``. The source table must be static for
+    the duration of the scan (or each page must read from the same
+    snapshot/consistent view — e.g. a REPEATABLE READ session per page
+    pinned to one snapshot, which plain DB-API cannot express generically).
+
+    ``keyset=True`` (requires ``order_col``) is the scale-safe variant:
+    one driver-side probe computes the first key of every page via
+    ``row_number() OVER (ORDER BY order_col)`` — a single O(N) server-side
+    pass — and each Spark task then range-scans
+    ``WHERE order_col >= lo AND order_col < hi ORDER BY order_col``.
+    No OFFSET anywhere, so the source engine never re-scans earlier pages
+    (OFFSET mode is O(pages²) server-side) and an index on ``order_col``
+    turns every page into a seek. Because the key ranges PARTITION the key
+    space, concurrent inserts can never be read twice (a row falls in
+    exactly one range); rows inserted into an already-fetched range are
+    simply not seen — append-mostly tables degrade gracefully instead of
+    corrupting the scan."""
     where = f" WHERE {where_sql}" if where_sql else ""
+    if keyset:
+        if not order_col:
+            raise ValueError("keyset pagination requires order_col")
+        return _read_db_keyset(
+            spark, make_conn, table, schema, page_size, where, order_col, columns
+        )
     order = f" ORDER BY {order_col}" if order_col else ""
     conn = make_conn()
     try:
@@ -176,6 +204,67 @@ def read_db_paginated(
     )
 
 
+def _read_db_keyset(
+    spark, make_conn, table, schema, page_size, where, order_col, columns
+) -> DataFrame:
+    """Keyset page plan: probe boundaries once, range-scan per task."""
+    conn = make_conn()
+    try:
+        cur = conn.execute(
+            f"SELECT {order_col} FROM ("
+            f"SELECT {order_col}, row_number() OVER (ORDER BY {order_col}) AS __rn"
+            f" FROM {table}{where}) AS __b WHERE __rn % {int(page_size)} = 1"
+            f" ORDER BY {order_col}"
+        )
+        bounds = [r[0] for r in cur.fetchall()]
+    finally:
+        conn.close()
+    if not bounds:
+        return spark.createDataFrame([], schema)
+    # page i covers [bounds[i], bounds[i+1]); the last page is unbounded
+    pages = [(bounds[i], bounds[i + 1] if i + 1 < len(bounds) else None) for i in range(len(bounds))]
+
+    def fetch_ranges(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for page in pdf["id"].tolist():
+                lo, hi = pages[int(page)]
+                c = make_conn()
+                try:
+                    import sys as _sys
+
+                    style = getattr(
+                        _sys.modules.get(type(c).__module__.split(".")[0]),
+                        "paramstyle",
+                        "qmark",
+                    )
+                    ph = "%s" if style in ("format", "pyformat") else "?"
+                    cond = f"{order_col} >= {ph}"
+                    params = [lo]
+                    if hi is not None:
+                        cond += f" AND {order_col} < {ph}"
+                        params.append(hi)
+                    joiner = " AND " if where else " WHERE "
+                    cur = c.execute(
+                        f"SELECT {columns} FROM {table}{where}{joiner}{cond}"
+                        f" ORDER BY {order_col}",
+                        tuple(params),
+                    )
+                    rows = cur.fetchall()
+                    cols = [d[0] for d in cur.description]
+                finally:
+                    c.close()
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.range(len(pages))
+        .repartition(min(len(pages), spark.sparkContext.defaultParallelism))
+        .mapInPandas(fetch_ranges, schema=schema)
+    )
+
+
 def write_db(
     df: DataFrame,
     make_conn,
@@ -196,15 +285,29 @@ def write_db(
     downstream view) must dedupe on its natural key — e.g. make
     (pipeline_id, task_id, raw_data_id) a primary/merge key, exactly the
     contract ``streaming.sink.KeyedMergeSink`` implements for files. Run
-    with ``spark.speculation=false`` when the target cannot dedupe."""
+    with ``spark.speculation=false`` when the target cannot dedupe.
+
+    The INSERT placeholder style is derived from the driver module's
+    DB-API ``paramstyle`` (qmark '?', format/pyformat '%s', numeric ':1');
+    sqlite3/duckdb (qmark) and psycopg2/MySQLdb (format) all work."""
     cols = list(df.columns)
 
     def write_part(batches):
         import json as _json
+        import sys as _sys
 
         import pandas as pd
 
         conn = make_conn()
+        style = getattr(
+            _sys.modules.get(type(conn).__module__.split(".")[0]), "paramstyle", "qmark"
+        )
+        if style in ("format", "pyformat"):
+            ph = ", ".join(["%s"] * 5)
+        elif style == "numeric":
+            ph = ", ".join(f":{i}" for i in range(1, 6))
+        else:  # qmark (sqlite3, duckdb) and the safe default
+            ph = ", ".join(["?"] * 5)
         try:
             n = 0
             for pdf in batches:
@@ -224,7 +327,7 @@ def write_db(
                 if rows:
                     conn.executemany(
                         f"INSERT INTO {table} (pipeline_id, task_id, raw_data_id,"
-                        " min_hashes, data) VALUES (?, ?, ?, ?, ?)",
+                        f" min_hashes, data) VALUES ({ph})",
                         rows,
                     )
                     conn.commit()

@@ -137,6 +137,14 @@ def sql_execution_filter(
                         keep.append(True)
                     except Exception:  # noqa: BLE001 - any DB error = reject
                         keep.append(False)
+                        # transactional drivers (psycopg2 et al.) abort the
+                        # whole transaction on error — without a rollback the
+                        # poisoned connection would reject every later row in
+                        # the batch. No-op on autocommit/DuckDB connections.
+                        try:
+                            con.rollback()
+                        except Exception:  # noqa: BLE001 - driver w/o txns
+                            pass
                 yield pdf[pd.Series(keep, index=pdf.index)]
         finally:
             try:

@@ -11,9 +11,9 @@ queries (shared source directory, independent checkpoints):
    (conv_id, user_turn_idx, resp_turn_idx);
 4. **dedup**   — incremental MinHash first-wins near-dedup (band state on
    disk, commit-log replay safety) → exactly-once sink on
-   (conv_id, turn_idx); first-wins priority/identity is
-   xxhash64(conv_id, turn_idx) — deterministic; supply a real arrival rid
-   at extreme scale.
+   (conv_id, turn_idx); first-wins priority/identity is a per-batch
+   arrival rank over (ts, turn_idx, conv_id), so the survivor among
+   near-duplicates is always the earliest qualifying turn.
 
 A JsonlMetricsListener records per-batch progress; each sink records
 per-batch per-partition lineage. Everything restarts from checkpoints.
@@ -100,8 +100,6 @@ class TranscriptsApp:
             .trigger(**trigger)
             .start()
         )
-        from pyspark.sql import functions as F
-
         from dataflow_spark.streaming.dedup import StreamingFirstWinsDedup
 
         self._dedup = StreamingFirstWinsDedup(
@@ -112,19 +110,27 @@ class TranscriptsApp:
                 df.drop("__ord"), b
             ),
         )
-        # first-wins priority/identity key: xxhash64 over the natural key —
-        # deterministic, no modulo wrap (a truncated-hash*2^20+turn_idx
-        # scheme both conflated 42-bit hash collisions and INVERTED
-        # first-wins once turn_idx wrapped 2^20). 64-bit collisions conflate
-        # two rows' dedup identity with p ~ n^2/2^65 — negligible at test
-        # scale; at 10^12 turns supply a real arrival rid column instead
-        # (the reference's order is arrival order anyway).
-        refined = apply_refiners(stream(), self.refiners).withColumn(
-            "__ord", F.xxhash64("conv_id", "turn_idx")
-        )
+        # first-wins priority/identity key: a per-micro-batch arrival rank
+        # over (ts, turn_idx, conv_id) — the kept row among near-duplicates
+        # is the EARLIEST qualifying turn, matching the reference's
+        # arrival-order insertion-session semantics (an earlier xxhash64 key
+        # was deterministic but picked the survivor in hash order). Rank is
+        # unique within the batch, which is all first-wins needs: rows in
+        # earlier batches always win via the committed-band anti-join, so
+        # ranks may repeat across batches. with_order_rank is a distributed
+        # range-sort + partition-offset pass over BATCH rows only — no
+        # global state, deterministic on replay (full sort key is unique).
+        from dataflow_spark.operators.dedup import with_order_rank
+
+        refined = apply_refiners(stream(), self.refiners)
+
+        def _dedup_batch(bdf, batch_id):
+            ranked = with_order_rank(bdf, ["ts", "turn_idx", "conv_id"], "__ord")
+            self._dedup.process_batch(ranked, batch_id)
+
         q4 = (
             refined.writeStream.queryName("dedup")
-            .foreachBatch(self._dedup.process_batch)
+            .foreachBatch(_dedup_batch)
             .option("checkpointLocation", os.path.join(self.out_dir, "ck_dedup"))
             .trigger(**trigger)
             .start()

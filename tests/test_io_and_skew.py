@@ -1,6 +1,7 @@
 """IO round-trips, surrogate cleaning, micro-batch wrapper, salted agg."""
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -157,6 +158,58 @@ def test_read_db_paginated_sqlite(spark, tmp_path):
     rows = filt.collect()
     assert sorted(r["id"] for r in rows) == [i for i in range(2345) if i % 3 == 0]
     assert all(r["pipeline_id"] == "p2" for r in rows)
+
+
+def test_read_db_keyset_matches_offset(spark, tmp_path):
+    """keyset=True (window-probe boundaries + per-task range scans, no
+    OFFSET anywhere) returns row-identical results to the OFFSET default —
+    with and without a pushed WHERE, including a non-contiguous key."""
+    import sqlite3
+
+    db = str(tmp_path / "src.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (id INTEGER, pipeline_id TEXT, payload TEXT)")
+    # non-contiguous, shuffled-insert keys: boundaries fall on arbitrary values
+    keys = [i * 7 + (i % 5) for i in range(1777)]
+    import random
+
+    rnd = random.Random(7)
+    rnd.shuffle(keys)
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?, ?)",
+        [(k, "p1" if k % 3 else "p2", f"row-{k}") for k in keys],
+    )
+    con.commit()
+    con.close()
+
+    from dataflow_spark.io import read_db_paginated
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("pipeline_id", T.StringType()),
+            T.StructField("payload", T.StringType()),
+        ]
+    )
+    for where in ("", "pipeline_id = 'p2'"):
+        kw = dict(page_size=100, order_col="id", where_sql=where)
+        offset_rows = sorted(
+            tuple(r) for r in read_db_paginated(
+                spark, _sqlite_conn_factory(db), "t", schema, **kw
+            ).collect()
+        )
+        keyset_rows = sorted(
+            tuple(r) for r in read_db_paginated(
+                spark, _sqlite_conn_factory(db), "t", schema, keyset=True, **kw
+            ).collect()
+        )
+        assert keyset_rows == offset_rows
+        assert len(keyset_rows) == (1777 if not where else sum(1 for k in keys if k % 3 == 0))
+
+    with pytest.raises(ValueError, match="order_col"):
+        read_db_paginated(
+            spark, _sqlite_conn_factory(db), "t", schema, keyset=True
+        )
 
 
 def test_write_db_sqlite_roundtrip(spark, tmp_path):
