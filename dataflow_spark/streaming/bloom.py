@@ -1,0 +1,165 @@
+"""Deterministic Bloom filters over LSH band values — the state-pruning
+sidecar for ``StreamingFirstWinsDedup``.
+
+Why: the incremental first-wins dedup anti-joins every micro-batch
+against ALL previously-committed band state. Without pruning that read
+is O(keep-set) per batch — quadratic over the stream's life, the one
+true 10^12-turn scale-killer. With a Bloom sidecar per state *unit*
+(a compaction band-hash bucket or an uncompacted per-batch dir), a batch
+of mostly-new data prefilters to a tiny candidate band set and then
+reads only the units whose Bloom reports a possible hit — per-batch
+state bytes read stay ~flat as the keep-set grows.
+
+Correctness: Bloom filters have NO false negatives for inserted keys, so
+pruning can only skip units that provably contain none of the batch's
+bands; an exact anti-join over the units actually read makes the final
+decision. False positives cost only extra bytes read, never a wrong
+keep-set.
+
+Determinism: double hashing over two JVM-side ``xxhash64`` values of the
+band string (position_i = h1 + i*h2 mod m, arithmetic in uint64 wrap),
+identical on executors and driver — no Python hashing of row data
+anywhere near the hot path.
+
+NOTE: no ``from __future__ import annotations`` here — it breaks
+``@pandas_udf`` type-hint resolution for locally-imported names.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BLOOM_K = 7
+BLOOM_BITS_PER_KEY = 16  # with k=7 → false-positive rate ~7e-4
+_SIDEYCAR = "_bloom.npz"  # leading '_' → invisible to Spark's file index
+
+
+def bloom_sidecar_path(unit_dir: str) -> str:
+    return os.path.join(unit_dir, _SIDEYCAR)
+
+
+def bloom_m_for(n_keys: int) -> int:
+    m = max(1 << 16, BLOOM_BITS_PER_KEY * max(int(n_keys), 1))
+    return ((m + 63) // 64) * 64
+
+
+def band_hash_cols(band_col: str = "band"):
+    """Two independent 64-bit hashes of the band value, computed JVM-side
+    (whole-stage codegen) — the only inputs the Bloom machinery needs."""
+    return (
+        F.xxhash64(F.col(band_col)).alias("__h1"),
+        F.xxhash64(F.col(band_col), F.lit("dfs-bloom-2")).alias("__h2"),
+    )
+
+
+def _as_u64(s) -> np.ndarray:
+    return np.asarray(s, dtype=np.int64).view(np.uint64)
+
+
+def set_bits(bits: np.ndarray, m: int, u1: np.ndarray, u2: np.ndarray) -> None:
+    """Insert hashed keys into the packed uint64 bitmap in place."""
+    um = np.uint64(m)
+    for i in range(BLOOM_K):
+        pos = (u1 + np.uint64(i) * u2) % um
+        np.bitwise_or.at(
+            bits,
+            (pos >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (pos & np.uint64(63)),
+        )
+
+
+def might_contain_vec(
+    bits: np.ndarray, m: int, u1: np.ndarray, u2: np.ndarray
+) -> np.ndarray:
+    """Vectorized membership probe → bool mask (no false negatives)."""
+    um = np.uint64(m)
+    acc = np.ones(len(u1), dtype=bool)
+    for i in range(BLOOM_K):
+        pos = (u1 + np.uint64(i) * u2) % um
+        word = bits[(pos >> np.uint64(6)).astype(np.int64)]
+        acc &= ((word >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        if not acc.any():
+            break
+    return acc
+
+
+def build_bloom(bands: DataFrame, n_keys: int, band_col: str = "band"):
+    """Distributed build: per-Arrow-batch partial bitmaps OR-reduced on the
+    driver. Only ``m/64``-word arrays travel (one per partition) — the band
+    rows themselves never reach the driver. Returns ``(bits, m)``."""
+    m = bloom_m_for(n_keys)
+    words = m // 64
+    hdf = bands.select(*band_hash_cols(band_col))
+
+    def part(batches):
+        acc = np.zeros(words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf):
+                set_bits(acc, m, _as_u64(pdf["__h1"]), _as_u64(pdf["__h2"]))
+        yield pd.DataFrame({"w": [acc.view(np.int64).tolist()]})
+
+    parts = hdf.mapInPandas(part, schema="w array<long>").collect()
+    bits = np.zeros(words, dtype=np.uint64)
+    for r in parts:
+        bits |= np.asarray(r["w"], dtype=np.int64).view(np.uint64)
+    return bits, m
+
+
+def save_bloom(unit_dir: str, bits: np.ndarray, m: int) -> None:
+    """Atomic sidecar write (tmp + rename): a crash mid-write leaves no
+    half-readable filter, and the enclosing commit-log/manifest protocol
+    means a unit is only reachable once its sidecar is in place."""
+    path = bloom_sidecar_path(unit_dir)
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, bits=bits.view(np.int64), m=np.int64(m))
+    # np.savez appends .npz only when missing — tmp already ends with it
+    os.replace(tmp, path)
+
+
+def load_bloom(unit_dir: str):
+    """→ ``(bits, m)`` or ``None`` when the unit has no (readable) sidecar
+    — callers must treat bloomless units as unprunable and read them."""
+    path = bloom_sidecar_path(unit_dir)
+    if not os.path.exists(path):
+        return None
+    try:
+        with np.load(path) as z:
+            return z["bits"].astype(np.int64).view(np.uint64), int(z["m"])
+    except Exception:  # noqa: BLE001 - corrupt sidecar = no pruning, not a crash
+        return None
+
+
+def any_bloom_filter_udf(spark: SparkSession, blooms):
+    """pandas_udf(__h1, __h2) → true iff ANY of the given ``(bits, m)``
+    filters might contain the key. Bitmaps ship once via broadcast."""
+    bc = spark.sparkContext.broadcast([(bits.tobytes(), m) for bits, m in blooms])
+
+    @F.pandas_udf("boolean")
+    def might(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        u1 = _as_u64(h1.to_numpy(dtype=np.int64))
+        u2 = _as_u64(h2.to_numpy(dtype=np.int64))
+        res = np.zeros(len(u1), dtype=bool)
+        for raw, m in bc.value:
+            todo = ~res
+            if not todo.any():
+                break
+            res[todo] |= might_contain_vec(
+                np.frombuffer(raw, dtype=np.uint64), m, u1[todo], u2[todo]
+            )
+        return pd.Series(res)
+
+    return might
+
+
+def dir_parquet_bytes(unit_dir: str) -> int:
+    """Total parquet payload under a unit dir (the 'state bytes read'
+    metric — sidecars and markers excluded)."""
+    total = 0
+    for root, _dirs, files in os.walk(unit_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    return total

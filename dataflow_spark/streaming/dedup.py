@@ -28,13 +28,31 @@ State scale: band dirs are merged by ``compact()`` (bounded file listing)
 with an optional event-time retention horizon so 10^12-turn streams don't
 accrete unbounded state; retention is the operator's explicit
 semantics-relaxing knob (a duplicate older than the horizon can resurface).
+
+Bounded per-batch state READ (not just bounded file count): compaction
+lays the keep-set's bands out in ``n_buckets`` band-hash buckets
+(``__bkt=N/`` partition dirs) and every state unit — bucket dir or
+uncompacted per-batch dir — carries a Bloom-filter sidecar of its band
+values (``streaming.bloom``). A micro-batch first prefilters its own
+bands through the union of unit Blooms (one broadcast, one codegen'd
+hash + vectorized probe), then probes each unit's Bloom with the
+surviving candidate hashes and reads ONLY units with a possible hit.
+Mostly-new data ⇒ candidates ≈ real duplicates + ~0.07% false positives
+⇒ per-batch state bytes read stay ~flat while the keep-set grows without
+bound. Blooms have no false negatives, and an exact anti-join over the
+units actually read makes the final call — pruning can never change the
+keep-set. ``last_state_read`` records units/bytes read per batch (the
+quantity the scale test asserts flat).
 """
 
 from __future__ import annotations
 
+import glob as _glob
 import json
 import os
 import shutil
+
+import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,6 +60,15 @@ from pyspark.sql import functions as F
 from dataflow_spark.operators.dedup import (
     first_wins_bucket_claim,
     minhash_bucket_table,
+)
+from dataflow_spark.streaming.bloom import (
+    any_bloom_filter_udf,
+    band_hash_cols,
+    build_bloom,
+    dir_parquet_bytes,
+    load_bloom,
+    might_contain_vec,
+    save_bloom,
 )
 
 
@@ -83,6 +110,7 @@ class StreamingFirstWinsDedup:
         seed: int = 1,
         ts_col: str | None = None,
         compact_every: int | None = 32,
+        n_buckets: int = 16,
     ):
         self.state_dir = state_dir
         self.order_col = order_col
@@ -93,6 +121,11 @@ class StreamingFirstWinsDedup:
         self.seed = seed
         self.ts_col = ts_col
         self.compact_every = compact_every
+        self.n_buckets = n_buckets
+        # per-batch read telemetry: {"units_total", "units_read",
+        # "bytes_read", "candidates"} — the scale test asserts bytes_read
+        # stays ~flat as committed state grows
+        self.last_state_read: dict | None = None
         os.makedirs(os.path.join(state_dir, "bands"), exist_ok=True)
 
     # ------------------------------------------------------------- commit log
@@ -148,13 +181,96 @@ class StreamingFirstWinsDedup:
         dirs.extend(self._batch_dir(b) for b in sorted(committed) if b > comp["upto"])
         return [d for d in dirs if os.path.exists(d)]
 
-    def _state_bands(self, spark: SparkSession) -> DataFrame | None:
-        dirs = self._state_dirs()
-        if not dirs:
-            return None
-        return spark.read.parquet(*dirs)
+    def _state_units(self) -> list[str]:
+        """Prunable read units: each ``__bkt=N`` bucket dir of the current
+        compaction (or the compaction root itself for legacy unbucketed
+        state) plus every committed uncompacted per-batch dir."""
+        committed = self._committed()
+        comp = self._compaction()
+        units: list[str] = []
+        if comp["dir"] is not None:
+            root = os.path.join(self.state_dir, "bands", comp["dir"])
+            if os.path.exists(root):
+                subs = sorted(_glob.glob(os.path.join(root, "__bkt=*")))
+                if subs:
+                    units.extend(subs)
+                elif _glob.glob(os.path.join(root, "*.parquet")):
+                    units.append(root)  # legacy unbucketed compaction
+                # else: retention drained the state to empty — no unit
+        units.extend(self._batch_dir(b) for b in sorted(committed) if b > comp["upto"])
+        return [u for u in units if os.path.exists(u)]
+
+    @staticmethod
+    def _read_units(spark: SparkSession, units: list[str]) -> DataFrame:
+        # bucket subdirs are read directly (no partition-column inference),
+        # so every unit yields the same (id, band, ts_us) schema
+        return spark.read.parquet(*units).select("id", "band", "ts_us")
 
     # --------------------------------------------------------------- process
+
+    def _collisions_with_state(self, spark: SparkSession, bands: DataFrame):
+        """ids of batch rows whose bands collide with committed state,
+        reading as few state units as the Bloom sidecars allow. Returns a
+        DataFrame[id] or None (no state / no possible collision); always
+        sets ``last_state_read``."""
+        units = self._state_units()
+        if not units:
+            self.last_state_read = {
+                "units_total": 0, "units_read": 0, "bytes_read": 0, "candidates": 0,
+            }
+            return None
+        blooms = {u: load_bloom(u) for u in units}
+        if any(v is None for v in blooms.values()):
+            # legacy/sidecar-less state: no pruning possible — exact full read
+            state = self._read_units(spark, units)
+            self.last_state_read = {
+                "units_total": len(units),
+                "units_read": len(units),
+                "bytes_read": sum(dir_parquet_bytes(u) for u in units),
+                "candidates": -1,
+            }
+            return (
+                bands.join(state.select("band").distinct().hint("shuffle_hash"), "band")
+                .select("id")
+                .distinct()
+            )
+
+        # 1. prefilter the BATCH side through the union of unit Blooms —
+        #    mostly-new data shrinks to real dups + ~0.07% false positives
+        bands_h = bands.select("id", "band", *band_hash_cols("band"))
+        might = any_bloom_filter_udf(spark, list(blooms.values()))
+        cand = bands_h.filter(might(F.col("__h1"), F.col("__h2"))).localCheckpoint()
+
+        # 2. probe each unit's Bloom with the candidate hashes (driver-side
+        #    numpy over the now-small distinct candidate set) → units to read
+        pairs = cand.select("__h1", "__h2").distinct().collect()
+        hit_units: list[str] = []
+        if pairs:
+            u1 = np.array([p["__h1"] for p in pairs], dtype=np.int64).view(np.uint64)
+            u2 = np.array([p["__h2"] for p in pairs], dtype=np.int64).view(np.uint64)
+            hit_units = [
+                u for u in units
+                if might_contain_vec(blooms[u][0], blooms[u][1], u1, u2).any()
+            ]
+        self.last_state_read = {
+            "units_total": len(units),
+            "units_read": len(hit_units),
+            "bytes_read": sum(dir_parquet_bytes(u) for u in hit_units),
+            "candidates": len(pairs),
+        }
+        if not hit_units:
+            return None
+
+        # 3. exact anti-join of the candidates against ONLY the hit units —
+        #    Blooms never have false negatives, so skipped units provably
+        #    contain none of this batch's bands and the result is identical
+        #    to the full-state join.
+        state = self._read_units(spark, hit_units)
+        return (
+            cand.join(state.select("band").distinct().hint("shuffle_hash"), "band")
+            .select("id")
+            .distinct()
+        )
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self._committed():
@@ -165,16 +281,10 @@ class StreamingFirstWinsDedup:
 
         # rows colliding with ANY previously-kept row are dropped outright
         # (the kept side always wins — it is strictly earlier). anti-join on
-        # the band value: one shuffle, no self-join, no pair explosion.
-        state = self._state_bands(spark)
-        if state is not None:
-            hit_ids = (
-                bands.join(
-                    state.select("band").distinct().hint("shuffle_hash"), "band"
-                )
-                .select("id")
-                .distinct()
-            )
+        # the band value: one shuffle, no self-join, no pair explosion —
+        # and the state side is Bloom-pruned to the units that can collide.
+        hit_ids = self._collisions_with_state(spark, bands)
+        if hit_ids is not None:
             df_alive = df.join(
                 hit_ids.withColumnRenamed("id", "__hit"),
                 df[self.order_col] == F.col("__hit"),
@@ -198,6 +308,13 @@ class StreamingFirstWinsDedup:
             survivors.select(F.col(self.order_col).alias("id")), "id"
         )
         surv_bands.write.mode("overwrite").parquet(self._batch_dir(batch_id))
+        # Bloom sidecar before the commit append: a committed dir always
+        # carries its filter (a crash mid-sidecar leaves the dir uncommitted
+        # and replay overwrites both). Built distributed from the parquet
+        # just written — the single source of truth for this unit's bands.
+        sdf = spark.read.parquet(self._batch_dir(batch_id))
+        bits, m = build_bloom(sdf, max(sdf.count(), 1))
+        save_bloom(self._batch_dir(batch_id), bits, m)
         if self.downstream is not None:
             self.downstream(survivors, batch_id)
         with open(self._commits, "a") as f:
@@ -219,22 +336,37 @@ class StreamingFirstWinsDedup:
         committed = self._committed()
         if not committed:
             return
-        dirs = self._state_dirs()
-        if not dirs:
+        units = self._state_units()
+        if not units:
             return
         upto = max(committed)
         prev = self._compaction()
-        state = spark.read.parquet(*dirs)
+        state = self._read_units(spark, units)
         if retain_after_us is not None:
             state = state.filter(
                 F.col("ts_us").isNull() | (F.col("ts_us") >= retain_after_us)
             )
         # write the merged state under a FRESH name, then flip the manifest —
-        # a crash before the flip leaves the old state fully reachable
+        # a crash before the flip leaves the old state fully reachable.
+        # Layout: n_buckets band-hash partition dirs, each with a Bloom
+        # sidecar, so the per-batch read path can prune at bucket grain.
         new_name = f"compact-{upto}-{prev['seq'] + 1}"
-        state.write.mode("overwrite").parquet(
-            os.path.join(self.state_dir, "bands", new_name)
+        new_dir = os.path.join(self.state_dir, "bands", new_name)
+        (
+            state.withColumn(
+                "__bkt", F.pmod(F.xxhash64("band", F.lit("dfs-bkt")), F.lit(self.n_buckets))
+            )
+            .repartition(self.n_buckets, "__bkt")
+            .write.partitionBy("__bkt")
+            .mode("overwrite")
+            .parquet(new_dir)
         )
+        # per-bucket Blooms: one distributed build per bucket dir —
+        # compaction-time cost, amortized over compact_every batches
+        for sub in sorted(_glob.glob(os.path.join(new_dir, "__bkt=*"))):
+            sdf = spark.read.parquet(sub)
+            bits, m = build_bloom(sdf, max(sdf.count(), 1))
+            save_bloom(sub, bits, m)
         with open(self._manifest, "w") as f:
             json.dump({"upto": upto, "dir": new_name, "seq": prev["seq"] + 1}, f)
         # old dirs are now unreachable via the manifest — reclaim them

@@ -141,6 +141,69 @@ def test_compaction_keepset_unchanged(spark, tmp_path):
     assert len(out) == n_before  # all duplicates of compacted keepers
 
 
+def _unique_batch(b: int, n: int = 400) -> pd.DataFrame:
+    """n wholly-dissimilar texts (md5-hex tokens, so byte-5-gram shingle
+    sets share no structure across rows — structured tokens like 'tok123'
+    produce genuine no-verify LSH band collisions) — the mostly-new-data
+    regime the Bloom pruning is designed for."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        g = b * 10_000 + i
+        toks = [hashlib.md5(f"{g}:{j}".encode()).hexdigest() for j in range(12)]
+        rows.append((g, " ".join(toks)))
+    return pd.DataFrame(rows, columns=["rid", "text"])
+
+
+def test_state_read_stays_flat_as_keepset_grows(spark, tmp_path):
+    """The 10^12-turn scale property: per-batch state BYTES READ must not
+    grow with the committed keep-set. With bucketed compaction + Bloom
+    sidecars, a batch of new texts prefilters to ~zero candidates and
+    reads ~no state units, while total state keeps growing; a batch of
+    actual duplicates still reads (only) the colliding units and drops
+    every duplicate — pruning never changes the keep-set."""
+    from dataflow_spark.streaming.bloom import dir_parquet_bytes
+
+    out: list[int] = []
+    d = StreamingFirstWinsDedup(
+        str(tmp_path / "state_flat"), order_col="rid",
+        downstream=lambda s, b: out.extend(r.rid for r in s.select("rid").collect()),
+        compact_every=4, n_buckets=8,
+    )
+    reads, totals = [], []
+    for b in range(12):
+        d.process_batch(spark.createDataFrame(_unique_batch(b)), b)
+        reads.append(dict(d.last_state_read))
+        totals.append(sum(dir_parquet_bytes(u) for u in d._state_units()))
+
+    # semantics: everything unique — nothing may be dropped
+    assert len(out) == 12 * 400
+    # state grows without bound...
+    assert totals[-1] > 4 * totals[1]
+    # ...but late batches read almost none of it: across the last 4
+    # batches at most a couple of Bloom-false-positive unit reads, never
+    # a scan proportional to the keep-set
+    late_bytes = [r["bytes_read"] for r in reads[8:]]
+    assert max(late_bytes) < 0.3 * totals[-1]
+    assert sum(r["units_read"] for r in reads[8:]) <= 4
+    # candidate sets are tiny (false positives only)
+    assert all(0 <= r["candidates"] <= 40 for r in reads[8:])
+
+    # a true-duplicate batch must still be caught — and by reading only
+    # the unit(s) its bands collide with, not the whole state
+    dup = _unique_batch(0)
+    dup["rid"] = dup["rid"] + 1_000_000
+    n_before = len(out)
+    d.process_batch(spark.createDataFrame(dup), 12)
+    assert len(out) == n_before  # all dropped: pruning kept exactness
+    # a full-duplicate batch legitimately touches every colliding bucket
+    # (here: all of them — its 2000 bands hash across all 8), but never
+    # more than the committed state
+    assert d.last_state_read["units_read"] >= 1
+    assert d.last_state_read["bytes_read"] <= totals[-1]
+
+
 def test_compaction_retention_expires_old_state(spark, tmp_path):
     pdf = make_transcripts(300, seed=33).reset_index(drop=True)
     pdf["rid"] = np.arange(len(pdf), dtype="int64")
