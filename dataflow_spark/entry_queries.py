@@ -986,7 +986,88 @@ def _q_ann_lsh(spark, sf):
     return SIM.ann_topk_lsh(emb, queries, k=5, dim=64)
 
 
+def _q_ann_ivf(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ann_topk_ivf(emb, queries, k=5)
+
+
+def _ivf_oracle(
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    scale: int = 10_000,
+    dim: int = 64,
+) -> str:
+    """Exact replay of ann_topk_ivf (operators/similarity.py): the
+    micro-unit quantization makes every Lloyd-iteration intermediate an
+    exact integer (element-wise BIGINT sums are order-independent) and
+    every score two IEEE ops on exact integers (< 2^53, so HUGEINT→DOUBLE
+    is lossless) — the full k-means train loop unrolls into CTEs and the
+    whole approximate-ANN pipeline gets an exact oracle, ties included."""
+    idot = lambda a, b: (  # noqa: E731
+        f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
+        f" i -> {a}[i]*{b}[i])) AS DOUBLE)"
+    )
+    score = lambda v, s: f"{idot(v, s)} / sqrt({idot(s, s)})"  # noqa: E731
+    parts = [f"""
+        ci AS (SELECT vec_id AS id,
+                      list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
+               FROM embeddings),
+        cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, iv AS sv
+                   FROM (SELECT id, iv FROM ci ORDER BY id LIMIT {n_centroids}))"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""
+        a{t} AS (SELECT id, cid FROM (
+            SELECT c.id, ct.cid,
+                   row_number() OVER (PARTITION BY c.id
+                       ORDER BY {score('c.iv', 'ct.sv')} DESC, ct.cid ASC) AS rn
+            FROM ci c CROSS JOIN cents{t - 1} ct) WHERE rn = 1),
+        cents{t} AS (
+            SELECT base.cid, coalesce(n.sv, base.sv) AS sv
+            FROM cents{t - 1} base LEFT JOIN (
+              SELECT cid, list(s ORDER BY pos) AS sv FROM (
+                SELECT a{t}.cid, p.pos, CAST(sum(ci.iv[p.pos]) AS BIGINT) AS s
+                FROM a{t} JOIN ci USING (id),
+                     (SELECT unnest(range(1, {dim + 1})) AS pos) p
+                GROUP BY a{t}.cid, p.pos)
+              GROUP BY cid) n ON n.cid = base.cid)""")
+    fin = f"cents{iters}"
+    parts.append(f"""
+        afin AS (SELECT id AS neighbor_id, cid FROM (
+            SELECT c.id, ct.cid,
+                   row_number() OVER (PARTITION BY c.id
+                       ORDER BY {score('c.iv', 'ct.sv')} DESC, ct.cid ASC) AS rn
+            FROM ci c CROSS JOIN {fin} ct) WHERE rn = 1),
+        qp AS (SELECT id AS query_id, cid FROM (
+            SELECT q.id, ct.cid,
+                   row_number() OVER (PARTITION BY q.id
+                       ORDER BY {score('q.iv', 'ct.sv')} DESC, ct.cid ASC) AS rn
+            FROM (SELECT * FROM ci WHERE id < 10) q CROSS JOIN {fin} ct)
+            WHERE rn <= {n_probe}),
+        scored AS (
+            SELECT qp.query_id, afin.neighbor_id,
+                   {idot('qv.iv', 'cv.iv')}
+                   / (sqrt({idot('qv.iv', 'qv.iv')})
+                      * sqrt({idot('cv.iv', 'cv.iv')})) AS cos_sim
+            FROM qp JOIN afin USING (cid)
+                 JOIN ci qv ON qv.id = qp.query_id
+                 JOIN ci cv ON cv.id = afin.neighbor_id
+            WHERE afin.neighbor_id <> qp.query_id),
+        ranked AS (SELECT query_id, neighbor_id, cos_sim,
+                          row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim,
+               CAST(rank AS INT) AS rank
+        FROM ranked WHERE rank <= {k}""")
+    return "WITH" + ",".join(parts)
+
+
 _ANN_ORACLES = {
+    "ann_topk_ivf": _ivf_oracle(),
     "ann_topk_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -2562,6 +2643,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "join_user_assistant": _q_join_user_assistant,
             "ann_topk_bruteforce": _q_ann_bruteforce,
             "ann_topk_lsh": _q_ann_lsh,
+            "ann_topk_ivf": _q_ann_ivf,
             "pricing_summary": _q_pricing_summary,
             "top_orders_per_segment": _q_top_orders_per_segment,
             "top_events_per_user": _q_top_events_per_user,

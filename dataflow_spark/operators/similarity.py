@@ -12,6 +12,16 @@ Two paths, per the engine's scale doctrine:
   neighbors); cosine is evaluated only inside matching buckets. Same
   output schema; recall < 1.0 by construction. At scale the bucket join
   shuffles only bucket keys + vectors, and AQE handles bucket skew.
+* ``ann_topk_ivf`` — IVF (inverted-file) coarse quantizer: a deterministic
+  k-means over micro-unit-QUANTIZED integer vectors partitions the corpus
+  into centroid cells; each query probes its ``n_probe`` nearest cells and
+  scores candidates exactly. Everything is JVM-native Catalyst (integer
+  zip_with/aggregate dot products — no Python anywhere), every
+  intermediate is an exact integer or an IEEE op on exact integers, so the
+  whole pipeline — Lloyd iterations included — is bit-reproducible across
+  engines and has an exact DuckDB oracle. At 100 TB the train loop runs on
+  a sample, the cell tag is one narrow column, and the probe join shuffles
+  only ``n_probe/n_centroids`` of the corpus per query batch.
 """
 
 from __future__ import annotations
@@ -110,6 +120,166 @@ def _bucket_udf(planes: np.ndarray, multiprobe: bool):
         return pd.Series(out)
 
     return _udf
+
+
+# ------------------------------------------------------------------- IVF
+
+def _int_dot(a, b):
+    """Exact integer dot product of two array<long> columns (JVM-side)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def quantize_vec(col, scale: int = 10_000):
+    """array<float> → array<long> micro-unit quantization (half-up round,
+    identical in Spark and DuckDB). With |x| ≤ ~1 and 64 dims, every dot
+    product / squared norm downstream stays far below 2^53, so doubles
+    derived from these integers are exact in BOTH engines — the key to a
+    bit-reproducible k-means."""
+    return F.transform(
+        F.col(col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+
+
+def _cent_score(vec_col, sum_col):
+    """cos(v, centroid-mean) up to the per-row constant ||v||:
+    dot(v, sum_c) / ||sum_c|| — exact ints into two IEEE ops, so argmax
+    ties and order are identical across engines."""
+    return _int_dot(vec_col, sum_col).cast("double") / F.sqrt(
+        _int_dot(sum_col, sum_col).cast("double")
+    )
+
+
+def _cent_literal(cents: list[list[int]]):
+    # sv MUST be array<long>: int literals would make zip_with multiply in
+    # 32-bit and overflow (ANSI throws) on squared centroid sums
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(int(v)) for v in c]).cast("array<long>").alias("sv"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+
+
+def _assign_cells(df: DataFrame, id_col: str, vec_col: str, cents: list[list[int]]) -> DataFrame:
+    """DataFrame[id, cid]: nearest centroid by cosine-to-mean, ties to the
+    lowest cid (max_by over (score, -cid) — deterministic)."""
+    e = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(_cent_literal(cents)).alias("c"),
+    )
+    score = _cent_score("v", "c.sv")
+    return e.groupBy("id").agg(
+        F.max_by(
+            F.col("c.cid"), F.struct(score.alias("s"), (-F.col("c.cid")).alias("nc"))
+        ).alias("cid")
+    )
+
+
+def ivf_train(
+    int_corpus: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "iv",
+    n_centroids: int = 8,
+    iters: int = 2,
+) -> list[list[int]]:
+    """Deterministic Lloyd's k-means over quantized integer vectors.
+
+    Init = the ``n_centroids`` vectors with the smallest ids (cid in id
+    order); each iteration reassigns all rows (one codegen'd explode/agg
+    job) and rebuilds every centroid as the exact element-wise INTEGER SUM
+    of its members (posexplode + groupBy(cid, pos) — order-independent,
+    hence replay- and engine-independent; the mean's scale factor cancels
+    in the cosine score so sums never need dividing). A centroid that
+    loses all members keeps its previous sum. Only n_centroids × dim longs
+    ever reach the driver. At 100 TB, train on a sample — the assignment
+    semantics don't change."""
+    init = int_corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    cents = [list(r[vec_col]) for r in init]
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = _assign_cells(int_corpus, id_col, vec_col, cents)
+        sums = (
+            int_corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(assigned, "id")
+            .select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"))
+            .collect()
+        )
+        acc: dict[int, dict[int, int]] = {}
+        for r in sums:
+            acc.setdefault(r["cid"], {})[r["pos"]] = r["s"]
+        cents = [
+            [acc[c][p] for p in range(dim)] if c in acc else cents[c]
+            for c in range(len(cents))
+        ]
+    return cents
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    scale: int = 10_000,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """IVF approximate cosine top-k. Output schema matches
+    ann_topk_bruteforce; recall < 1.0 by construction (a true neighbor in
+    an unprobed cell is missed). Cosine here is over the QUANTIZED
+    vectors — the operator defines its arithmetic, and that definition is
+    exactly replayable in SQL (every intermediate is an exact integer or
+    an IEEE op on exact integers). At scale: train on a sample, tag the
+    corpus once (narrow int column), and each query batch joins only its
+    n_probe cells — n_probe/n_centroids of the corpus instead of all of
+    it, with AQE absorbing cell skew."""
+    ci = corpus.select(
+        F.col(id_col).alias("id"), quantize_vec(vec_col, scale).alias("v")
+    ).localCheckpoint()
+    cents = ivf_train(ci, "id", "v", n_centroids=n_centroids, iters=iters)
+
+    tagged = ci.join(_assign_cells(ci, "id", "v", cents), "id").select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    )
+    qi = queries.select(
+        F.col(id_col).alias("query_id"), quantize_vec(vec_col, scale).alias("qv")
+    )
+    qe = qi.select(
+        "query_id", "qv", F.explode(_cent_literal(cents)).alias("c")
+    ).withColumn("s", _cent_score("qv", "c.sv"))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("s"), F.asc("c.cid"))
+    qprobe = (
+        qe.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("c.cid").alias("cid"))
+    )
+    cand = tagged.join(qprobe, "cid").filter(F.col("neighbor_id") != F.col("query_id"))
+    cos = _int_dot("qv", "cv").cast("double") / (
+        F.sqrt(_int_dot("qv", "qv").cast("double"))
+        * F.sqrt(_int_dot("cv", "cv").cast("double"))
+    )
+    scored = cand.withColumn("cos_sim", cos)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+    if round_to is not None:
+        out = out.withColumn("cos_sim", F.round("cos_sim", round_to))
+    return out
 
 
 def ann_topk_lsh(

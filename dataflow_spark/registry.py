@@ -38,7 +38,11 @@ def _build() -> dict[str, Callable]:
     from dataflow_spark.operators import dedup as D
     from dataflow_spark.operators.retrieval import bm25_topk
     from dataflow_spark.operators.selection import select_diverse
-    from dataflow_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+    from dataflow_spark.operators.similarity import (
+        ann_topk_bruteforce,
+        ann_topk_ivf,
+        ann_topk_lsh,
+    )
     from dataflow_spark.operators.splitter import (
         split_chars,
         split_recursive,
@@ -70,6 +74,7 @@ def _build() -> dict[str, Callable]:
             "retrieve.bm25": bm25_topk,
             "ann.bruteforce": ann_topk_bruteforce,
             "ann.lsh": ann_topk_lsh,
+            "ann.ivf": ann_topk_ivf,
             "select.kcenter": select_diverse,
         }
     )

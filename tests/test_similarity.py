@@ -4,7 +4,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from dataflow_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from dataflow_spark.operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+)
 
 
 def _toy_embeddings(spark, n=120, dim=24, seed=2):
@@ -47,6 +51,32 @@ def test_lsh_recall_floor(spark):
     a = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_recall_and_determinism(spark):
+    """IVF coarse-quantized ANN: candidate lists come only from probed
+    cells (recall < 1 possible but must stay useful), ranks are contiguous
+    per query, and the deterministic k-means makes two runs bit-identical."""
+    df, mat = _toy_embeddings(spark, n=200)
+    q = df.filter(F.col("vec_id") < 10)
+    exact = ann_topk_bruteforce(df, q, k=5).toPandas()
+    a1 = ann_topk_ivf(df, q, k=5, n_centroids=8, n_probe=3).toPandas()
+    a2 = ann_topk_ivf(df, q, k=5, n_centroids=8, n_probe=3).toPandas()
+    key = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert sorted(map(tuple, a1[key].values.tolist())) == sorted(
+        map(tuple, a2[key].values.tolist())
+    )
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, a1[["query_id", "neighbor_id"]].values))
+    assert len(e & a) / len(e) >= 0.5, "IVF recall too low"
+    for qid, grp in a1.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+    # quantized cosine tracks the true cosine closely (scale 1e4 ⇒ ~1e-4)
+    merged = a1.merge(
+        exact, on=["query_id", "neighbor_id"], suffixes=("_ivf", "_exact")
+    )
+    assert not merged.empty
+    assert np.allclose(merged.cos_sim_ivf, merged.cos_sim_exact, atol=5e-3)
 
 
 def test_multimodal_plumbing(spark):

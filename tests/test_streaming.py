@@ -106,7 +106,12 @@ def test_streaming_assembly_tws_matches_pandas_oracle(spark, src_dir, tmp_path):
 
     The TWS Python driver worker speaks a protobuf protocol — skip where
     google.protobuf is unavailable (this container has no protobuf and no
-    network; the operator is exercised wherever Spark 4 + protobuf exist)."""
+    network; the operator is exercised wherever Spark 4 + protobuf exist).
+    Vendoring attempts (recorded so the skip is known-blocked, not
+    forgotten): pip's index is DNS-unreachable from this container, no
+    wheelhouse or *.whl exists anywhere on disk, and hand-writing a
+    google.protobuf runtime stub is a non-starter (pyspark's generated
+    ``*_pb2`` state-protocol modules need the real descriptor API)."""
     pytest.importorskip("google.protobuf")
     from dataflow_spark.streaming.assembly import assemble_conversations_tws
 
