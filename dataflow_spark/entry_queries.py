@@ -27,6 +27,8 @@ from dataflow_spark.functions import scorers as S
 from dataflow_spark.functions.filters import FILTERS, with_filter_columns
 from dataflow_spark.functions.refiners import REFINERS
 from dataflow_spark.operators import dedup as D
+from dataflow_spark.operators import lm as LM
+from dataflow_spark.operators import sampling as SAMP
 from dataflow_spark.operators import similarity as SIM
 
 
@@ -990,6 +992,103 @@ def _q_ann_ivf(spark, sf):
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.ann_topk_ivf(emb, queries, k=5)
+
+
+# ------------------------------------------------------- bigram LM / ppl
+
+def _q_score_bigram_perplexity(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return LM.bigram_perplexity(df, "doc_id")
+
+
+def _q_perplexity_lm_filter(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return LM.perplexity_filter(
+        df, "doc_id", min_score=0.0, max_score=_PPL_MAX
+    ).select("doc_id", "text")
+
+
+# threshold chosen to split the synthetic corpus non-trivially (both kept
+# and dropped rows exist at every sf), mirroring PerplexityFilter's
+# min<=ppl<=max band semantics
+_PPL_MAX = 30.0
+
+
+# ------------------------------------------------- sampling / quota caps
+
+def _q_sample_hash_fraction(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return SAMP.sample_hash_fraction(df, ["doc_id"], fraction=0.35, seed=7)
+
+
+def _q_stratified_sample(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "source")
+    return SAMP.stratified_sample_n(df, ["source"], ["doc_id"], n=20, seed=7)
+
+
+def _q_cap_per_source(spark, sf):
+    df = _t(spark, sf, "documents").select("doc_id", "source")
+    return SAMP.cap_per_key(df, ["source"], quota=15, order_col="doc_id")
+
+
+# md5-uniform draw, the exact SQL twin of sampling._md5_u01
+_U01 = (
+    "(('0x' || substr(md5('7' || chr(31) || coalesce(CAST(doc_id AS VARCHAR), '')),"
+    " 1, 8))::BIGINT / 4294967296.0)"
+)
+
+_SAMPLING_ORACLES = {
+    "sample_hash_fraction": f"""
+        SELECT doc_id, text FROM documents WHERE {_U01} < 0.35""",
+    "stratified_sample": f"""
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY {_U01} ASC, doc_id ASC) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= 20""",
+    "cap_per_source": """
+        WITH r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= 15""",
+}
+
+# Exact replay of operators/lm.py: integer count tables + one IEEE
+# division per term + ln of bit-identical doubles + TOKEN-ORDER fold
+# (list(lp ORDER BY pos) summed sequentially = Spark's array aggregate).
+_LM_ORACLE_CTES = """
+    toks AS (SELECT doc_id AS id,
+                    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                t -> t <> '') AS tk
+             FROM documents),
+    big AS (SELECT t.id, u.i AS pos,
+                   CASE WHEN u.i = 1 THEN '<s>' ELSE t.tk[u.i - 1] END AS w1,
+                   t.tk[u.i] AS w2
+            FROM toks t, unnest(range(1, CAST(len(t.tk) AS BIGINT) + 1)) AS u(i)),
+    bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+    cc AS (SELECT w1, count(*) AS ctx FROM big GROUP BY w1),
+    vv AS (SELECT count(DISTINCT w2) AS v FROM big),
+    terms AS (SELECT b.id, b.pos,
+                     ln(CAST(bc.c + 1 AS DOUBLE) / CAST(cc.ctx + v.v AS DOUBLE)) AS lp
+              FROM big b JOIN bc USING (w1, w2) JOIN cc USING (w1), vv v),
+    pd AS (SELECT id, list_sum(list(lp ORDER BY pos)) AS lps, count(*) AS n
+           FROM terms GROUP BY id)
+"""
+
+_LM_ORACLES = {
+    "score_bigram_perplexity": f"""
+        WITH {_LM_ORACLE_CTES}
+        SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+               round(exp(-pd.lps / pd.n), 6) AS ppl
+        FROM toks t LEFT JOIN pd ON pd.id = t.id""",
+    "perplexity_lm_filter": f"""
+        WITH {_LM_ORACLE_CTES}
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN pd ON pd.id = d.doc_id
+        WHERE round(exp(-pd.lps / pd.n), 6) BETWEEN 0.0 AND {_PPL_MAX}""",
+}
 
 
 def _ivf_oracle(
@@ -2644,6 +2743,11 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_bruteforce": _q_ann_bruteforce,
             "ann_topk_lsh": _q_ann_lsh,
             "ann_topk_ivf": _q_ann_ivf,
+            "score_bigram_perplexity": _q_score_bigram_perplexity,
+            "perplexity_lm_filter": _q_perplexity_lm_filter,
+            "sample_hash_fraction": _q_sample_hash_fraction,
+            "stratified_sample": _q_stratified_sample,
+            "cap_per_source": _q_cap_per_source,
             "pricing_summary": _q_pricing_summary,
             "top_orders_per_segment": _q_top_orders_per_segment,
             "top_events_per_user": _q_top_events_per_user,
@@ -2750,6 +2854,8 @@ def build_oracles() -> dict[str, str]:
     o.update(_WINDOW_ORACLES)
     o.update(_TRANSCRIPT_ORACLES)
     o.update(_ANN_ORACLES)
+    o.update(_LM_ORACLES)
+    o.update(_SAMPLING_ORACLES)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()

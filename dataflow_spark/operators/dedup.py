@@ -70,6 +70,10 @@ def dedup_exact(
     elif algo == "xxh64":
         h = F.xxhash64(joined)
     elif algo == "ccnet":
+        # reference packs sha1's first 8 BYTES as a little-endian uint64
+        # (ccnet_deduplicator.py:34-36); the first 16 hex chars are a
+        # bijection of those same 8 bytes, so the dedup partition — and
+        # hence the keep-set — is identical, without a byte-reverse expr
         h = F.substring(F.sha1(joined), 1, 16)
     else:
         raise ValueError(algo)

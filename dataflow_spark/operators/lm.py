@@ -1,0 +1,152 @@
+"""Corpus-trained bigram language model — perplexity scoring and filtering.
+
+The reference's PerplexityScorer / PerplexityFilter
+(general_text/eval/models/perplexity_scorer.py, Kenlm/model.py:23-120,
+filter/perplexity_filter.py:46-58) load a pretrained KenLM n-gram model
+and keep rows with ``min_score <= ppl <= max_score``. No model ships in
+this container, so instead of a mute stand-in this module implements the
+statistical core for real, Spark-first: TRAIN the n-gram model on the
+corpus itself (the CCNet recipe — count tables are one groupBy away on a
+cluster) and score each document against it.
+
+Model: bigrams with add-k (Laplace) smoothing over the corpus vocabulary,
+sentence-start padded::
+
+    p(w2 | w1) = (count(w1, w2) + k) / (count(w1, ·) + k·V)
+    ppl(doc)   = exp( − mean_i ln p(w_i | w_{i−1}) )
+
+(KenLM reports base-10; e-base is the same ordering, documented here.)
+
+Exactness/parity design (same doctrine as the IVF/dedup oracles): counts
+and V are exact integers from distributed aggregations, so every
+``(c+k)/(ctx+k·V)`` is one IEEE division of exact integers and every
+``ln`` sees a bit-identical double in any engine. Per-document log-prob
+terms are folded IN TOKEN ORDER (array fold, not a shuffle-order sum), so
+the final sum is the same IEEE op sequence in Spark and the DuckDB
+oracle — FP-bit-reproducible end to end.
+
+Everything is native Catalyst (split/zip_with/explode/groupBy/aggregate);
+no Python on any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = "\\s+"
+BOS = "<s>"
+
+
+def tokens_expr(c):
+    """lowercase whitespace tokens, empties dropped (Python str.split
+    semantics, shared with the DuckDB oracle's regexp_split_to_array)."""
+    return F.filter(
+        F.split(F.lower(F.coalesce(c, F.lit(""))), TOKEN_SPLIT),
+        lambda x: x != F.lit(""),
+    )
+
+
+def _bigrams(tk):
+    """array<struct<w1,w2>> of consecutive pairs over [BOS] + tokens."""
+    padded = F.concat(F.array(F.lit(BOS)), tk)
+    n = F.size(padded)
+    return F.zip_with(
+        F.slice(padded, 1, n - 1),
+        F.slice(padded, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+
+
+def bigram_counts(df: DataFrame, text_col: str = "text"):
+    """→ (bigram counts DF[w1, w2, c], context counts DF[w1, ctx], V).
+
+    One explode + two groupBys; counts combine map-side. V = distinct
+    token count of the corpus (BOS excluded — it never appears as w2's
+    prediction target vocabulary entry)."""
+    big = df.select(
+        F.explode(_bigrams(tokens_expr(F.col(text_col)))).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    v = big.select("w2").distinct().count()
+    return bc, cc, v
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    k: int = 1,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(id, n_tokens, ppl) for every row of ``df`` — the model is trained
+    on ``df`` itself. Rows with no tokens get ppl NULL (nothing to score).
+
+    Scale shape: the two count tables shuffle once each; scoring joins the
+    exploded bigrams against them (broadcast when small, shuffle-hash when
+    not — AQE decides), then one groupBy re-packs per-doc terms in token
+    order for the ordered fold. No window over the corpus, no driver data.
+    """
+    bc, cc, v = bigram_counts(df, text_col)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
+    )
+    terms = (
+        toks.select("id", F.posexplode(_bigrams(F.col("tk"))).alias("pos", "bg"))
+        .select("id", "pos", "bg.w1", "bg.w2")
+        .join(bc, ["w1", "w2"], "left")
+        .join(cc, ["w1"], "left")
+        .select(
+            "id",
+            "pos",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k)).cast("double")
+                / (F.coalesce(F.col("ctx"), F.lit(0)) + F.lit(k) * F.lit(v)).cast(
+                    "double"
+                )
+            ).alias("lp"),
+        )
+    )
+    # token-order fold: sort_array on (pos, lp) structs, then a sequential
+    # aggregate — the SAME IEEE op order the oracle's list_sum replays
+    per_doc = terms.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda s: s["lp"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("lp_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = (
+        toks.join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("tk").alias("n_tokens"),
+            F.exp(-F.col("lp_sum") / F.col("n")).alias("ppl"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("ppl", F.round("ppl", round_to))
+    return out
+
+
+def perplexity_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    min_score: float = 0.0,
+    max_score: float = 1e9,
+    k: int = 1,
+) -> DataFrame:
+    """PerplexityFilter semantics (perplexity_filter.py:56-58): keep rows
+    with ``min_score <= ppl <= max_score``; token-less rows score no
+    perplexity and are dropped (the reference's scorer errors on them)."""
+    ppl = bigram_perplexity(df, id_col, text_col, k=k)
+    return (
+        df.join(ppl.select(id_col, "ppl"), id_col)
+        .filter(F.col("ppl").between(min_score, max_score))
+        .drop("ppl")
+    )

@@ -38,6 +38,12 @@ def _build() -> dict[str, Callable]:
     from dataflow_spark.operators import dedup as D
     from dataflow_spark.operators.retrieval import bm25_topk
     from dataflow_spark.operators.selection import select_diverse
+    from dataflow_spark.operators.lm import bigram_perplexity, perplexity_filter
+    from dataflow_spark.operators.sampling import (
+        cap_per_key,
+        sample_hash_fraction,
+        stratified_sample_n,
+    )
     from dataflow_spark.operators.similarity import (
         ann_topk_bruteforce,
         ann_topk_ivf,
@@ -75,6 +81,11 @@ def _build() -> dict[str, Callable]:
             "ann.bruteforce": ann_topk_bruteforce,
             "ann.lsh": ann_topk_lsh,
             "ann.ivf": ann_topk_ivf,
+            "lm.bigram_perplexity": bigram_perplexity,
+            "lm.perplexity_filter": perplexity_filter,
+            "sample.hash_fraction": sample_hash_fraction,
+            "sample.stratified_n": stratified_sample_n,
+            "sample.cap_per_key": cap_per_key,
             "select.kcenter": select_diverse,
         }
     )

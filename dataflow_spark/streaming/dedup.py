@@ -43,6 +43,15 @@ bound. Blooms have no false negatives, and an exact anti-join over the
 units actually read makes the final call — pruning can never change the
 keep-set. ``last_state_read`` records units/bytes read per batch (the
 quantity the scale test asserts flat).
+
+Honest envelope: the Bloom sidecars cost ~2 bytes per committed band
+(16 bits/key), so the broadcast prefilter carries ~2 GB per 10^9 bands —
+fine to ~10^10, beyond which the levers are (a) the event-time retention
+horizon (already the state-bounding knob), (b) fewer bits/key for the
+batch-side prefilter only (per-unit probes stay at 16), or (c) sharding
+the dedup by band-hash prefix into independent pipelines, each carrying
+only its shard's filters. Bytes READ per batch stay flat in all cases;
+it is the filter METADATA that eventually needs sharding.
 """
 
 from __future__ import annotations

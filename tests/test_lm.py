@@ -1,0 +1,91 @@
+"""Corpus-trained bigram LM: Spark output must equal a sequential Python
+re-implementation of the exact formula (same token order, same fold)."""
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dataflow_spark.operators.lm import bigram_perplexity, perplexity_filter
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the cat sat on the hat",
+    "a dog ran in the park",
+    "the the the the",
+    "completely novel words appear here once only",
+    "",
+    "single",
+    "the cat sat on the mat",  # exact repeat — lowest surprise
+]
+
+
+def _ref_ppl(texts: list[str], k: int = 1) -> list[tuple[int, float | None]]:
+    toks = [[w for w in t.lower().split() if w] for t in texts]
+    bigrams = [list(zip(["<s>"] + tk, tk)) for tk in toks]
+    bc: dict = {}
+    cc: dict = {}
+    vocab = set()
+    for bgs in bigrams:
+        for w1, w2 in bgs:
+            bc[(w1, w2)] = bc.get((w1, w2), 0) + 1
+            cc[w1] = cc.get(w1, 0) + 1
+            vocab.add(w2)
+    v = len(vocab)
+    out = []
+    for i, bgs in enumerate(bigrams):
+        if not bgs:
+            out.append((i, None))
+            continue
+        s = 0.0
+        for w1, w2 in bgs:  # token order — the fold the engine replays
+            s += math.log((bc[(w1, w2)] + k) / (cc[w1] + k * v))
+        out.append((i, round(math.exp(-s / len(bgs)), 6)))
+    return out
+
+
+def test_bigram_ppl_matches_sequential_reference(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in bigram_perplexity(df, "doc_id").collect()
+    }
+    for i, ppl in _ref_ppl(TEXTS):
+        n = len([w for w in TEXTS[i].lower().split() if w])
+        assert got[i][0] == n
+        if ppl is None:
+            assert got[i][1] is None
+        else:
+            assert got[i][1] == pytest.approx(ppl, abs=2e-6)
+    # repeats of in-corpus phrasing are less surprising than novel text
+    assert got[0][1] < got[4][1]
+    # the exact-repeat doc scores identically to its twin
+    assert got[0][1] == got[7][1]
+
+
+def test_perplexity_filter_band(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS})
+    )
+    ref = dict(_ref_ppl(TEXTS))
+    lo, hi = 0.0, sorted(p for p in ref.values() if p is not None)[3]
+    kept = {
+        r["doc_id"]
+        for r in perplexity_filter(df, "doc_id", min_score=lo, max_score=hi).collect()
+    }
+    expected = {i for i, p in ref.items() if p is not None and lo <= p <= hi}
+    assert kept == expected
+    # token-less rows never pass (the reference scorer can't score them)
+    assert 5 not in kept
+
+
+def test_no_python_in_ppl_plan(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": TEXTS[:4]})
+    )
+    plan = bigram_perplexity(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan

@@ -178,6 +178,44 @@ def main() -> None:
         result["assembly_turns_per_sec"] = round(args.turns / assembly_s, 1)
         shutil.rmtree(ck2, ignore_errors=True)
 
+    # ---- streaming near-dedup mode: incremental MinHash first-wins with
+    # Bloom-pruned bucketed band state (the 10^12-turn-safe read path)
+    if "dedup" in modes:
+        from dataflow_spark.operators.dedup import with_order_rank
+        from dataflow_spark.streaming.dedup import StreamingFirstWinsDedup
+
+        ddir = tempfile.mkdtemp(prefix="dfs_scale_dst_")
+        ck4 = tempfile.mkdtemp(prefix="dfs_scale_ck4_")
+        kept: list[int] = []
+        dd = StreamingFirstWinsDedup(
+            os.path.join(ddir, "state"),
+            order_col="__ord",
+            ts_col="ts",
+            downstream=lambda s, b: kept.append(s.count()),
+            compact_every=8,
+        )
+
+        def _dedup_batch(bdf, bid):
+            dd.process_batch(
+                with_order_rank(bdf, ["ts", "turn_idx", "conv_id"], "__ord"), bid
+            )
+
+        t0 = time.time()
+        dq = (
+            file_stream(spark, data_dir, max_files_per_trigger=16)
+            .writeStream.foreachBatch(_dedup_batch)
+            .option("checkpointLocation", ck4)
+            .trigger(availableNow=True)
+            .start()
+        )
+        dq.awaitTermination()
+        dedup_s = time.time() - t0
+        result["dedup_s"] = round(dedup_s, 2)
+        result["dedup_turns_per_sec"] = round(args.turns / dedup_s, 1)
+        result["dedup_rows_kept"] = int(sum(kept))
+        shutil.rmtree(ddir, ignore_errors=True)
+        shutil.rmtree(ck4, ignore_errors=True)
+
     # ---- stateful mode, Spark-4 processor API (needs RocksDB provider)
     if "assembly_tws" in modes:
         from dataflow_spark.streaming.assembly import assemble_conversations_tws
