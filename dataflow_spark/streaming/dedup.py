@@ -315,19 +315,24 @@ class StreamingFirstWinsDedup:
         # converges to the same content), visible only after the commit
         surv_bands = bands.join(
             survivors.select(F.col(self.order_col).alias("id")), "id"
-        )
+        ).localCheckpoint()
         surv_bands.write.mode("overwrite").parquet(self._batch_dir(batch_id))
         # Bloom sidecar before the commit append: a committed dir always
         # carries its filter (a crash mid-sidecar leaves the dir uncommitted
-        # and replay overwrites both). Built distributed from the parquet
-        # just written — the single source of truth for this unit's bands.
-        sdf = spark.read.parquet(self._batch_dir(batch_id))
-        bits, m = build_bloom(sdf, max(sdf.count(), 1))
+        # and replay overwrites both). Sized without an extra count job:
+        # every survivor emits exactly `bands` band rows, so n_keys =
+        # survivors × bands; built from the checkpointed band table (same
+        # deterministic content as the parquet just written).
+        n_surv = survivors.count()
+        from dataflow_spark.operators.dedup import optimal_band_param
+
+        n_bands, _ = optimal_band_param(self.threshold, self.num_perm)
+        bits, m = build_bloom(surv_bands, max(n_surv * n_bands, 1))
         save_bloom(self._batch_dir(batch_id), bits, m)
         if self.downstream is not None:
             self.downstream(survivors, batch_id)
         with open(self._commits, "a") as f:
-            f.write(json.dumps({"batch_id": batch_id, "rows": survivors.count()}) + "\n")
+            f.write(json.dumps({"batch_id": batch_id, "rows": n_surv}) + "\n")
 
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.compact(spark)

@@ -26,6 +26,10 @@ HEADLINE = [
     "sql_component_classify",
     "html_to_markdown_doc",
     "kcenter_select",
+    "ann_topk_ivf",
+    "score_bigram_perplexity",
+    "sample_hash_fraction",
+    "cap_per_source",
 ]
 
 
