@@ -82,6 +82,41 @@ def test_perplexity_filter_band(spark):
     assert 5 not in kept
 
 
+def test_bigram_ppl_fuzz_vs_reference(spark):
+    """Randomized corpora (seeded) vs the sequential Python reference —
+    guards the tokenization, count, smoothing and fold parity beyond the
+    curated cases. ASCII-only tokens: unicode case-folding edge cases
+    (dotted-I, sharp-s) differ between JVM and Python lowercasing and are
+    out of the operator's contract."""
+    import random
+
+    rnd = random.Random(123)
+    alphabet = [
+        "alpha", "beta", "Gamma", "DELTA", "x1", "y2z", "...", "a-b",
+        "word", "the", "of", "!!", "(paren)", "q",
+    ]
+    for trial in range(3):
+        texts = []
+        for _ in range(40):
+            n = rnd.randint(0, 12)
+            texts.append(
+                ("  " if rnd.random() < 0.3 else "")
+                + " ".join(rnd.choice(alphabet) for _ in range(n))
+                + ("\t" if rnd.random() < 0.3 else "")
+            )
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        got = {
+            r["doc_id"]: r["ppl"] for r in bigram_perplexity(df, "doc_id").collect()
+        }
+        for i, ppl in _ref_ppl(texts):
+            if ppl is None:
+                assert got[i] is None, (trial, i)
+            else:
+                assert got[i] == pytest.approx(ppl, abs=2e-6), (trial, i, texts[i])
+
+
 def test_no_python_in_ppl_plan(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(4), "text": TEXTS[:4]})
