@@ -1014,6 +1014,74 @@ def _q_perplexity_lm_filter(spark, sf):
 _PPL_MAX = 30.0
 
 
+def _q_superfiltering_ifd(spark, sf):
+    """Superfiltering IFD over documents, instruction = text up to the
+    first '. ' (inclusive), response = the rest — empty response (no
+    sentence break) scores NULL, as the reference does for output==''."""
+    df = _t(spark, sf, "documents").select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
+    pos = F.instr(F.col("text"), ". ")
+    split = df.select(
+        "doc_id",
+        F.when(pos > 0, F.substring(F.col("text"), F.lit(1), pos)).otherwise(
+            F.col("text")
+        ).alias("instr"),
+        F.when(pos > 0, F.substring(F.col("text"), pos + 2, F.length("text"))).otherwise(
+            F.lit("")
+        ).alias("resp"),
+    )
+    return LM.superfiltering_ifd(split, "doc_id", "instr", "resp")
+
+
+_IFD_TOK = "list_filter(regexp_split_to_array(lower({x}), '\\s+'), t -> t <> '')"
+
+_LM_ORACLES_IFD = {
+    "superfiltering_ifd": f"""
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN strpos(coalesce(text, ''), '. ') > 0
+                      THEN substr(coalesce(text, ''), 1, strpos(coalesce(text, ''), '. '))
+                      ELSE coalesce(text, '') END AS instr,
+                 CASE WHEN strpos(coalesce(text, ''), '. ') > 0
+                      THEN substr(coalesce(text, ''), strpos(coalesce(text, ''), '. ') + 2)
+                      ELSE '' END AS resp
+          FROM documents),
+        wtoks AS (SELECT doc_id AS id, {_IFD_TOK.format(x="instr || chr(10) || resp")} AS tk
+                  FROM src),
+        big AS (SELECT t.id, u.i AS pos,
+                       CASE WHEN u.i = 1 THEN '<s>' ELSE t.tk[u.i - 1] END AS w1,
+                       t.tk[u.i] AS w2
+                FROM wtoks t, unnest(range(1, CAST(len(t.tk) AS BIGINT) + 1)) AS u(i)),
+        bc AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY w1, w2),
+        cc AS (SELECT w1, count(*) AS ctx FROM big GROUP BY w1),
+        vv AS (SELECT count(DISTINCT w2) AS v FROM big),
+        rtoks AS (SELECT s.doc_id AS id,
+                         {_IFD_TOK.format(x="s.resp")} AS rtk,
+                         coalesce({_IFD_TOK.format(x="s.instr")}[-1], '<s>') AS seed
+                  FROM src s),
+        chains AS (
+          SELECT id, 'c' AS ch, u.i AS pos,
+                 CASE WHEN u.i = 1 THEN seed ELSE rtk[u.i - 1] END AS w1,
+                 rtk[u.i] AS w2
+          FROM rtoks, unnest(range(1, CAST(len(rtk) AS BIGINT) + 1)) AS u(i)
+          UNION ALL
+          SELECT id, 'i' AS ch, u.i AS pos,
+                 CASE WHEN u.i = 1 THEN '<s>' ELSE rtk[u.i - 1] END AS w1,
+                 rtk[u.i] AS w2
+          FROM rtoks, unnest(range(1, CAST(len(rtk) AS BIGINT) + 1)) AS u(i)),
+        terms AS (SELECT ch, id, pos,
+                         ln(CAST(coalesce(bc.c, 0) + 1 AS DOUBLE)
+                            / CAST(coalesce(cc.ctx, 0) + v.v AS DOUBLE)) AS lp
+                  FROM chains LEFT JOIN bc USING (w1, w2) LEFT JOIN cc USING (w1), vv v),
+        pd AS (SELECT id, ch, list_sum(list(lp ORDER BY pos)) AS lps, count(*) AS n
+               FROM terms GROUP BY id, ch)
+        SELECT s.doc_id,
+               round(exp(-pc.lps / pc.n) / exp(-pi.lps / pi.n), 6) AS ifd
+        FROM src s
+        LEFT JOIN pd pc ON pc.id = s.doc_id AND pc.ch = 'c'
+        LEFT JOIN pd pi ON pi.id = s.doc_id AND pi.ch = 'i'""",
+}
+
+
 # ------------------------------------------------- sampling / quota caps
 
 def _q_sample_hash_fraction(spark, sf):
@@ -2745,6 +2813,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_ivf": _q_ann_ivf,
             "score_bigram_perplexity": _q_score_bigram_perplexity,
             "perplexity_lm_filter": _q_perplexity_lm_filter,
+            "superfiltering_ifd": _q_superfiltering_ifd,
             "sample_hash_fraction": _q_sample_hash_fraction,
             "stratified_sample": _q_stratified_sample,
             "cap_per_source": _q_cap_per_source,
@@ -2855,6 +2924,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_TRANSCRIPT_ORACLES)
     o.update(_ANN_ORACLES)
     o.update(_LM_ORACLES)
+    o.update(_LM_ORACLES_IFD)
     o.update(_SAMPLING_ORACLES)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)

@@ -47,9 +47,11 @@ def tokens_expr(c):
     )
 
 
-def _bigrams(tk):
-    """array<struct<w1,w2>> of consecutive pairs over [BOS] + tokens."""
-    padded = F.concat(F.array(F.lit(BOS)), tk)
+def _bigrams(tk, seed=None):
+    """array<struct<w1,w2>> of consecutive pairs over [seed] + tokens
+    (seed defaults to BOS — pass a column to condition the chain's first
+    prediction on a context token instead)."""
+    padded = F.concat(F.array(F.lit(BOS) if seed is None else seed), tk)
     n = F.size(padded)
     return F.zip_with(
         F.slice(padded, 1, n - 1),
@@ -92,9 +94,28 @@ def bigram_perplexity(
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )
+    out = (
+        toks.join(_chain_ppl(toks, bc, cc, v, k), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.size("tk").alias("n_tokens"),
+            F.col("ppl_raw").alias("ppl"),
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("ppl", F.round("ppl", round_to))
+    return out
+
+
+def _chain_ppl(toks: DataFrame, bc, cc, v: int, k: int, seeded: bool = False) -> DataFrame:
+    """(id, ppl_raw) for token chains. ``toks`` = (id, tk[, seed]); with
+    ``seeded`` the chain's first prediction conditions on the row's seed
+    token instead of BOS. Token-order fold (sort_array + sequential
+    aggregate) — the SAME IEEE op order the oracle's list_sum replays."""
+    bg = _bigrams(F.col("tk"), F.col("seed") if seeded else None)
     terms = (
-        toks.select("id", F.posexplode(_bigrams(F.col("tk"))).alias("pos", "bg"))
-        .select("id", "pos", "bg.w1", "bg.w2")
+        toks.select("id", F.posexplode(bg).alias("pos", "bgp"))
+        .select("id", "pos", "bgp.w1", "bgp.w2")
         .join(bc, ["w1", "w2"], "left")
         .join(cc, ["w1"], "left")
         .select(
@@ -108,8 +129,6 @@ def bigram_perplexity(
             ).alias("lp"),
         )
     )
-    # token-order fold: sort_array on (pos, lp) structs, then a sequential
-    # aggregate — the SAME IEEE op order the oracle's list_sum replays
     per_doc = terms.groupBy("id").agg(
         F.aggregate(
             F.transform(
@@ -120,16 +139,62 @@ def bigram_perplexity(
         ).alias("lp_sum"),
         F.count(F.lit(1)).alias("n"),
     )
+    return per_doc.select("id", F.exp(-F.col("lp_sum") / F.col("n")).alias("ppl_raw"))
+
+
+def superfiltering_ifd(
+    df: DataFrame,
+    id_col: str,
+    instr_col: str,
+    resp_col: str,
+    k: int = 1,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Superfiltering IFD — instruction-following difficulty as the ratio
+    of conditional to independent response perplexity
+    (superfiltering_scorer.py:14-116, SuperfilteringFilter): the
+    reference computes ``ppl(output | instruction) / ppl(output)`` with
+    GPT-2; here the SAME statistic is computed for real under the
+    corpus-trained bigram LM (trained on instruction+"\\n"+response whole
+    texts, so boundary bigrams exist). For a bigram model the two chains
+    differ exactly in their first prediction's context — the last
+    instruction token versus BOS — which is the order-1 truncation of the
+    reference's full conditioning. Higher IFD ⇒ the instruction makes the
+    response HARDER to predict. Rows with an empty response get NULL
+    (the reference returns None for output == ''); an empty instruction
+    seeds BOS, making the ratio exactly 1.
+    """
+    whole = df.select(
+        F.concat_ws(
+            "\n", F.coalesce(F.col(instr_col), F.lit("")), F.coalesce(F.col(resp_col), F.lit(""))
+        ).alias("text")
+    )
+    bc, cc, v = bigram_counts(whole, "text")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        tokens_expr(F.col(resp_col)).alias("tk"),
+        # try_element_at: ANSI mode makes element_at THROW on an empty
+        # array; the empty-instruction row must seed BOS instead
+        F.coalesce(
+            F.try_element_at(tokens_expr(F.col(instr_col)), F.lit(-1)), F.lit(BOS)
+        ).alias("seed"),
+    )
+    cond = _chain_ppl(base, bc, cc, v, k, seeded=True).withColumnRenamed(
+        "ppl_raw", "ppl_cond"
+    )
+    ind = _chain_ppl(base, bc, cc, v, k, seeded=False).withColumnRenamed(
+        "ppl_raw", "ppl_ind"
+    )
     out = (
-        toks.join(per_doc, "id", "left")
+        base.join(cond, "id", "left")
+        .join(ind, "id", "left")
         .select(
             F.col("id").alias(id_col),
-            F.size("tk").alias("n_tokens"),
-            F.exp(-F.col("lp_sum") / F.col("n")).alias("ppl"),
+            (F.col("ppl_cond") / F.col("ppl_ind")).alias("ifd"),
         )
     )
     if round_to is not None:
-        out = out.withColumn("ppl", F.round("ppl", round_to))
+        out = out.withColumn("ifd", F.round("ifd", round_to))
     return out
 
 

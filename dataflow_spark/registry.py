@@ -38,7 +38,11 @@ def _build() -> dict[str, Callable]:
     from dataflow_spark.operators import dedup as D
     from dataflow_spark.operators.retrieval import bm25_topk
     from dataflow_spark.operators.selection import select_diverse
-    from dataflow_spark.operators.lm import bigram_perplexity, perplexity_filter
+    from dataflow_spark.operators.lm import (
+        bigram_perplexity,
+        perplexity_filter,
+        superfiltering_ifd,
+    )
     from dataflow_spark.operators.sampling import (
         cap_per_key,
         sample_hash_fraction,
@@ -83,6 +87,7 @@ def _build() -> dict[str, Callable]:
             "ann.ivf": ann_topk_ivf,
             "lm.bigram_perplexity": bigram_perplexity,
             "lm.perplexity_filter": perplexity_filter,
+            "lm.superfiltering_ifd": superfiltering_ifd,
             "sample.hash_fraction": sample_hash_fraction,
             "sample.stratified_n": stratified_sample_n,
             "sample.cap_per_key": cap_per_key,

@@ -117,6 +117,40 @@ def test_bigram_ppl_fuzz_vs_reference(spark):
                 assert got[i] == pytest.approx(ppl, abs=2e-6), (trial, i, texts[i])
 
 
+def test_superfiltering_ifd_semantics(spark):
+    """IFD contract: empty response → NULL; empty instruction → ratio
+    exactly 1.0; an instruction whose last token frequently precedes the
+    response opening (in-corpus continuation) conditions BETTER than BOS
+    (IFD < 1), while a misleading instruction conditions worse."""
+    from dataflow_spark.operators.lm import superfiltering_ifd
+
+    rows = [
+        # instruction ends 'the' and 'the cat' dominates the corpus →
+        # conditioning helps (ifd < 1)
+        (0, "say the", "cat sat on the mat"),
+        (1, "say the", "cat sat on the hat"),
+        (2, "", "cat sat on the mat"),          # empty instr → ifd == 1
+        (3, "anything here", ""),                # empty resp → NULL
+        (4, "say the", "cat ran to the mat"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "instr", "resp"]))
+    got = {r["doc_id"]: r["ifd"] for r in superfiltering_ifd(df, "doc_id", "instr", "resp").collect()}
+    assert got[3] is None
+    assert got[2] == pytest.approx(1.0, abs=1e-9)
+    assert got[0] < 1.0  # 'the cat' is the dominant corpus bigram
+    assert got[1] < 1.0 and got[4] < 1.0  # same conditioning benefit
+
+
+def test_superfiltering_ifd_deterministic(spark):
+    rows = [(i, f"instr {i} ends here", f"resp tok{i} more words here") for i in range(30)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "instr", "resp"]))
+    from dataflow_spark.operators.lm import superfiltering_ifd
+
+    a = sorted((r["doc_id"], r["ifd"]) for r in superfiltering_ifd(df, "doc_id", "instr", "resp").collect())
+    b = sorted((r["doc_id"], r["ifd"]) for r in superfiltering_ifd(df, "doc_id", "instr", "resp").collect())
+    assert a == b
+
+
 def test_no_python_in_ppl_plan(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(4), "text": TEXTS[:4]})
