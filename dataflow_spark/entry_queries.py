@@ -1082,6 +1082,72 @@ _LM_ORACLES_IFD = {
 }
 
 
+# ------------------------------------------------ reasoning judger/filters
+
+def _q_answer_token_length_filter(spark, sf):
+    """AnswerTokenLengthFilter (answer_token_length_filter.py:11-46):
+    keep answers within the token cap; BPE-estimate counter (the same
+    pinned stand-in ToKenInfo uses for its tokenizer)."""
+    from dataflow_spark.operators.reasoning import answer_token_length_filter
+
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return answer_token_length_filter(df, "text", max_answer_token_length=75)
+
+
+def _q_answer_judger_math(spark, sf):
+    """AnswerJudger_MathVerify (answer_judger_mathverify.py:9-82):
+    deterministic parse/verify over a pinned grammar — five answer-format
+    variants per doc exercise boxed/decimal/fraction/percent/string paths,
+    both verdicts."""
+    from dataflow_spark.operators.reasoning import answer_judger_math
+
+    docs = _t(spark, sf, "documents")
+    v = ((F.col("doc_id") * 37) % 1000).cast("string")
+    v2 = ((F.col("doc_id") * 37) % 1000 * 2).cast("string")
+    m = F.col("doc_id") % 5
+    answer = (
+        F.when(m == 0, F.concat(F.lit("\\boxed{"), v, F.lit("}")))
+        .when(m == 1, F.concat(v, F.lit(".000")))
+        .when(m == 2, F.concat(v2, F.lit(" / 2")))
+        .when(m == 3, F.concat(v, F.lit("%")))
+        .otherwise(F.concat(F.lit("Answer Is "), v))
+    )
+    gt = (
+        F.when(m == 1, F.concat(F.lit("$"), v))
+        .when((m == 4) & (F.col("doc_id") % 10 == 9), F.lit("answer is different"))
+        .when(m == 4, F.concat(F.lit("answer is "), v))
+        .otherwise(v)
+    )
+    pairs = docs.select("doc_id", answer.alias("answer"), gt.alias("gt"))
+    return answer_judger_math(pairs, "answer", "gt")
+
+
+_SQL_MATCH_PAIRS = [
+    ("select 1 + 1", "select 2", 1),
+    ("select @ as a", "select @", 1),  # column names ignored
+    ("select 1 as a union all select 2", "select 2 union all select 1", 1),
+    ("select 1", "select 2", 0),
+    ("select 1 +", "select 1", 0),  # predicted SQL errors
+    ("select 3", "select err_func_xyz(@)", 0),  # ground truth errors
+    ("select @, 'x'", "select @, 'x'", 1),
+    ("select null", "select null", 1),
+]
+
+
+def _q_sql_execution_match(spark, sf):
+    """SQLExecutionClassifier's deterministic execution-accuracy core
+    (sql_execution_classifier.py:87-120): genuine DB execution of both
+    sides, order-insensitive result-set comparison; the oracle derives
+    the verdict arithmetically from the pinned pair templates."""
+    from dataflow_spark.operators.text2sql import sql_execution_match
+
+    docs = _t(spark, sf, "documents")
+    pred = _sql_from_templates([p for p, _, _ in _SQL_MATCH_PAIRS])
+    gt = _sql_from_templates([g for _, g, _ in _SQL_MATCH_PAIRS])
+    pairs = docs.select("doc_id", pred.alias("pred_sql"), gt.alias("gt_sql"))
+    return sql_execution_match(pairs, "pred_sql", "gt_sql")
+
+
 # ------------------------------------------------- sampling / quota caps
 
 def _q_sample_hash_fraction(spark, sf):
@@ -1097,6 +1163,83 @@ def _q_stratified_sample(spark, sf):
 def _q_cap_per_source(spark, sf):
     df = _t(spark, sf, "documents").select("doc_id", "source")
     return SAMP.cap_per_key(df, ["source"], quota=15, order_col="doc_id")
+
+
+def _duck_math_norm(x: str) -> str:
+    """DuckDB twin of reasoning.math_answer_norm over expression ``x``."""
+    boxed = "regexp_extract(" + x + ", '\\\\boxed\\{([^}]*)\\}', 1)"
+    unwrapped = f"CASE WHEN {boxed} <> '' THEN {boxed} ELSE {x} END"
+    stripped = f"trim(regexp_replace(trim({unwrapped}), '[$,]', '', 'g'))"
+    return f"regexp_replace({stripped}, '\\.$', '')"
+
+
+def _duck_math_value(x: str) -> str:
+    """DuckDB twin of reasoning.math_answer_value over a NORMALIZED
+    string expression ``x``."""
+    frac = "'^\\\\frac\\{(-?\\d+)\\}\\{(-?\\d+)\\}$'"
+    slash = "'^(-?\\d+)\\s*/\\s*(-?\\d+)$'"
+    pct = "'^(-?\\d+(?:\\.\\d+)?)%$'"
+    num = "'^-?\\d+(?:\\.\\d+)?$'"
+    g = lambda p, i: f"regexp_extract({x}, {p}, {i})"  # noqa: E731
+    div = lambda a, b: (  # noqa: E731 - zero denominator → NULL (Spark try_divide twin)
+        f"CASE WHEN CAST({b} AS DOUBLE) <> 0 THEN CAST({a} AS DOUBLE) / CAST({b} AS DOUBLE) ELSE NULL END"
+    )
+    return (
+        f"CASE WHEN {g(frac, 1)} <> '' THEN {div(g(frac, 1), g(frac, 2))}"
+        f" WHEN {g(slash, 1)} <> '' THEN {div(g(slash, 1), g(slash, 2))}"
+        f" WHEN {g(pct, 1)} <> '' THEN CAST({g(pct, 1)} AS DOUBLE) / 100.0"
+        f" WHEN regexp_matches({x}, {num}) THEN CAST({x} AS DOUBLE)"
+        " ELSE NULL END"
+    )
+
+
+_REASONING_ORACLES = {
+    "answer_token_length_filter": """
+        SELECT doc_id, text FROM documents
+        WHERE CAST(ceil(length(coalesce(text, '')) / 4.0) AS BIGINT) <= 75""",
+    "answer_judger_math": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 CAST((doc_id * 37) % 1000 AS VARCHAR) AS v,
+                 CAST(((doc_id * 37) % 1000) * 2 AS VARCHAR) AS v2,
+                 doc_id % 5 AS m
+          FROM documents),
+        pairs AS (
+          SELECT doc_id,
+                 CASE WHEN m = 0 THEN '\\boxed{{' || v || '}}'
+                      WHEN m = 1 THEN v || '.000'
+                      WHEN m = 2 THEN v2 || ' / 2'
+                      WHEN m = 3 THEN v || '%'
+                      ELSE 'Answer Is ' || v END AS answer,
+                 CASE WHEN m = 1 THEN '$' || v
+                      WHEN m = 4 AND doc_id % 10 = 9 THEN 'answer is different'
+                      WHEN m = 4 THEN 'answer is ' || v
+                      ELSE v END AS gt
+          FROM base),
+        n AS (SELECT doc_id, answer, gt,
+                     {_duck_math_norm('answer')} AS na,
+                     {_duck_math_norm('gt')} AS ng
+              FROM pairs),
+        v AS (SELECT *, {_duck_math_value('na')} AS va, {_duck_math_value('ng')} AS vg
+              FROM n)
+        SELECT doc_id, answer, gt,
+               CASE WHEN va IS NOT NULL AND vg IS NOT NULL
+                    THEN abs(va - vg) <= 1e-9 * greatest(1.0, abs(vg))
+                    ELSE lower(na) = lower(ng) END AS answer_match
+        FROM v""",
+}
+
+
+def _sql_match_oracle() -> str:
+    preds = _duck_sql_templates([p for p, _, _ in _SQL_MATCH_PAIRS])
+    gts = _duck_sql_templates([g for _, g, _ in _SQL_MATCH_PAIRS])
+    good = tuple(i for i, (_, _, ok) in enumerate(_SQL_MATCH_PAIRS) if ok)
+    return f"""
+        WITH c AS (SELECT doc_id, {preds} AS pred_sql, {gts} AS gt_sql
+                   FROM documents)
+        SELECT doc_id, pred_sql, gt_sql,
+               (doc_id % {len(_SQL_MATCH_PAIRS)}) IN {good} AS exec_match
+        FROM c"""
 
 
 # md5-uniform draw, the exact SQL twin of sampling._md5_u01
@@ -2732,6 +2875,8 @@ _EXTRA_ORACLES["sql_execution_filter"] = f"""
     FROM documents
     WHERE (doc_id % {len(_SQL_EXEC_TEMPLATES)}) IN {tuple(_SQL_EXEC_VALID)}"""
 
+_EXTRA_ORACLES["sql_execution_match"] = _sql_match_oracle()
+
 
 def _q_html_to_markdown_doc(spark, sf):
     """FileOrURLToMarkdownConverter text path over genuinely HTML-shaped
@@ -2814,6 +2959,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "score_bigram_perplexity": _q_score_bigram_perplexity,
             "perplexity_lm_filter": _q_perplexity_lm_filter,
             "superfiltering_ifd": _q_superfiltering_ifd,
+            "answer_token_length_filter": _q_answer_token_length_filter,
+            "answer_judger_math": _q_answer_judger_math,
+            "sql_execution_match": _q_sql_execution_match,
             "sample_hash_fraction": _q_sample_hash_fraction,
             "stratified_sample": _q_stratified_sample,
             "cap_per_source": _q_cap_per_source,
@@ -2926,6 +3074,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_LM_ORACLES)
     o.update(_LM_ORACLES_IFD)
     o.update(_SAMPLING_ORACLES)
+    o.update(_REASONING_ORACLES)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()

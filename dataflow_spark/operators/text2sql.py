@@ -153,3 +153,62 @@ def sql_execution_filter(
                 pass
 
     return gated.mapInPandas(probe, schema=gated.schema).select(*cols)
+
+
+def sql_execution_match(
+    df: DataFrame,
+    pred_col: str = "pred_sql",
+    gt_col: str = "gt_sql",
+    db_factory=None,
+    result_col: str = "exec_match",
+) -> DataFrame:
+    """Execution-accuracy core of SQLExecutionClassifier
+    (text2sql/eval/sql_execution_classifier.py:87-120): run the predicted
+    and ground-truth SQL and compare RESULT SETS as order-insensitive
+    row multisets (column names ignored — the reference compares fetched
+    rows). A row matches only when BOTH execute successfully and return
+    identical sorted row tuples; any execution error is a non-match. The
+    reference wraps this in an LLM candidate-generation loop (scoped
+    out); this operator judges any (pred, gt) pair. One DB-API
+    connection per Arrow batch, rollback after every failed execute."""
+    from pyspark.sql import types as T
+
+    cols = df.columns
+    out_schema = T.StructType(df.schema.fields + [T.StructField(result_col, T.BooleanType())])
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if db_factory is None:
+            import duckdb
+
+            con = duckdb.connect()
+        else:
+            con = db_factory()
+
+        def run(q):
+            try:
+                cur = con.execute(q)
+                return True, sorted(map(tuple, cur.fetchall()))
+            except Exception:  # noqa: BLE001 - any DB error = no result
+                try:
+                    con.rollback()
+                except Exception:  # noqa: BLE001
+                    pass
+                return False, None
+
+        try:
+            for pdf in batches:
+                verdicts = []
+                for p, g in zip(pdf[pred_col], pdf[gt_col]):
+                    okp, rp = run(p)
+                    okg, rg = run(g)
+                    verdicts.append(bool(okp and okg and rp == rg))
+                pdf = pdf.copy()
+                pdf[result_col] = verdicts
+                yield pdf
+        finally:
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    return df.mapInPandas(probe, schema=out_schema).select(*cols, result_col)

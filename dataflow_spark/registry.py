@@ -43,6 +43,10 @@ def _build() -> dict[str, Callable]:
         perplexity_filter,
         superfiltering_ifd,
     )
+    from dataflow_spark.operators.reasoning import (
+        answer_judger_math,
+        answer_token_length_filter,
+    )
     from dataflow_spark.operators.sampling import (
         cap_per_key,
         sample_hash_fraction,
@@ -88,6 +92,8 @@ def _build() -> dict[str, Callable]:
             "lm.bigram_perplexity": bigram_perplexity,
             "lm.perplexity_filter": perplexity_filter,
             "lm.superfiltering_ifd": superfiltering_ifd,
+            "reason.answer_token_length": answer_token_length_filter,
+            "reason.answer_judger_math": answer_judger_math,
             "sample.hash_fraction": sample_hash_fraction,
             "sample.stratified_n": stratified_sample_n,
             "sample.cap_per_key": cap_per_key,
