@@ -93,6 +93,20 @@ def _pii_oracle_expr() -> str:
 _REFINER_ORACLES["redact_pii"] = _pii_oracle_expr()
 
 
+def _ccnet_norm_oracle_expr() -> str:
+    # the SAME pinned table as the engine (text.CCNET_UNICODE_PUNCT)
+    expr = (
+        "regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),"
+        " '[0-9０-９]', '0', 'g')"
+    )
+    for src, dst in X.CCNET_UNICODE_PUNCT:
+        expr = f"replace({expr}, '{src}', '{dst.replace(chr(39), chr(39) * 2)}')"
+    return f"regexp_replace({expr}, '{X.NON_PRINTING_CLASS}', '', 'g')"
+
+
+_REFINER_ORACLES["ccnet_normalize"] = _ccnet_norm_oracle_expr()
+
+
 def _html_md_oracle_expr(src: str = "text") -> str:
     # chained regexp_replace from the SAME rule table as the engine
     # (functions/text.HTML_MD_RULES); RE2 replacement syntax (\1) is

@@ -348,6 +348,29 @@ def _n_html_to_markdown(c: Column) -> Column:
     return out
 
 
+def _k_ccnet_normalize(s: pd.Series) -> pd.Series:
+    # KenlmModel.normalize with from_pretrained defaults (Kenlm/model.py:
+    # 120-143): strip → digits→0 → unicode-punct map → non-printing strip.
+    # [0-9] (not \d) and (?a)\s so kernel/native/oracle agree (Python's
+    # \d/\s/.strip() are unicode-aware; Java+RE2 are ASCII — delta only on
+    # exotic unicode digits/spaces, outside the reference's input domain).
+    out = s.str.replace(r"(?a)^\s+|\s+$", "", regex=True).str.replace(
+        r"[0-9０-９]", "0", regex=True
+    )
+    for src, dst in X.CCNET_UNICODE_PUNCT:
+        out = out.str.replace(src, dst, regex=False)
+    return out.str.replace(X.NON_PRINTING_CLASS, "", regex=True)
+
+
+def _n_ccnet_normalize(c: Column) -> Column:
+    out = F.regexp_replace(
+        F.regexp_replace(c, r"^\s+|\s+$", ""), "[0-9０-９]", "0"
+    )
+    for src, dst in X.CCNET_UNICODE_PUNCT:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return F.regexp_replace(out, X.NON_PRINTING_CLASS, "")
+
+
 def _k_spelling(s: pd.Series) -> pd.Series:
     # reference SpellingCorrectionRefiner.spelling_checks
     # (spelling_correction_refiner.py:86-94) — symspell lookup per token
@@ -398,6 +421,9 @@ REFINERS: dict[str, Refiner] = {
         Refiner("lemmatize", _k_lemmatize, _n_lemmatize,
                 "WordNet-morphy-style noun lemmatization per token "
                 "(pinned suffix rules + irregular-plural table)"),
+        Refiner("ccnet_normalize", _k_ccnet_normalize, _n_ccnet_normalize,
+                "CCNet text normalization (strip, digits->0, unicode-punct "
+                "map, non-printing removal; KenlmModel.normalize defaults)"),
         Refiner("spelling", _k_spelling, None,
                 "SymSpell CLOSEST-verbosity correction per lowercase token "
                 "(pinned frequency dictionary, deletes index, OSA verify)"),

@@ -97,6 +97,32 @@ def token_count(s: pd.Series) -> pd.Series:
     return tokens(s).str.len().fillna(0).astype("int64")
 
 
+# --------------------------------------------------- ccnet normalization
+
+# CCNet's unicode-punctuation mapping, transcribed from the reference's
+# KenlmModel.unicode_punct (general_text/eval/models/Kenlm/model.py:25-59
+# — the table is itself CCNet's public normalization map; quirks like
+# '１' → '"' kept faithfully). Every key is a single non-ASCII char and
+# every value is ASCII, so sequential replaces equal the reference's
+# per-character map. Applied by the ccnet_normalize refiner in the
+# reference's default order: strip → digits→0 → this table →
+# non-printing-char removal (model.py:120-143, from_pretrained defaults
+# case=False accent=False numbers=True punct=1).
+CCNET_UNICODE_PUNCT: list[tuple[str, str]] = [
+    ("，", ","), ("。", "."), ("、", ","), ("„", '"'),
+    ("”", '"'), ("“", '"'), ("«", '"'), ("»", '"'),
+    ("１", '"'), ("」", '"'), ("「", '"'), ("《", '"'),
+    ("》", '"'), ("´", "'"), ("∶", ":"), ("：", ":"),
+    ("？", "?"), ("！", "!"), ("（", "("), ("）", ")"),
+    ("；", ";"), ("–", "-"), ("—", " - "), ("．", ". "),
+    ("～", "~"), ("’", "'"), ("…", "..."), ("━", "-"),
+    ("〈", "<"), ("〉", ">"), ("【", "["), ("】", "]"),
+    ("％", "%"), ("►", "-"),
+]
+
+NON_PRINTING_CLASS = "[\\x00-\\x1f\\x7f-\\x9f]"
+
+
 # ------------------------------------------------------- html -> markdown
 
 # One ordered rule table drives all three implementations of the

@@ -40,6 +40,31 @@ def test_native_equals_parity(corpus_df, name):
     assert a == b
 
 
+def test_ccnet_normalize_canonical(spark):
+    """Pins the CCNet chain (Kenlm/model.py:120-143 defaults) on inputs
+    that exercise every stage: strip, digits→0 (incl. fullwidth, which
+    the reference's \\d converts BEFORE the punct table — so the '１'
+    table entry stays dead code here too), punct map, non-printing."""
+    import pandas as pd
+
+    from dataflow_spark.functions.refiners import REFINERS
+
+    cases = {
+        "  Year 2024, «quote» — done…  ": 'Year 0000, "quote"  -  done...',
+        "１２３ yen ～ ok！": "000 yen ~ ok!",
+        "tab\x07bell «x»": 'tabbell "x"',
+        "（a；b）５０％": "(a;b)00%",
+    }
+    r = REFINERS["ccnet_normalize"]
+    kern = r.kernel(pd.Series(list(cases))).tolist()
+    assert kern == list(cases.values())
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(t,) for t in cases], "text string")
+    nat = [x["n"] for x in df.select(r.native(F.col("text")).alias("n")).collect()]
+    assert nat == list(cases.values())
+
+
 def test_null_text_stays_null(spark):
     rows = [("c", 0, "user", None, "", None)]
     df = spark.createDataFrame(
