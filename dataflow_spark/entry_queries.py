@@ -1136,6 +1136,57 @@ def _q_answer_judger_math(spark, sf):
     return answer_judger_math(pairs, "answer", "gt")
 
 
+def _q_answer_pipeline_root(spark, sf):
+    """AnswerPipelineRoot (answer_pipeline_root.py:45-87): GT backfill via
+    the deterministic extractor, then branch split — three input shapes
+    per doc exercise explicit-GT, extract-from-answer, and no-GT routes."""
+    from dataflow_spark.operators.reasoning import answer_pipeline_root
+
+    docs = _t(spark, sf, "documents")
+    v = ((F.col("doc_id") * 37) % 1000).cast("string")
+    m = F.col("doc_id") % 3
+    t = F.coalesce("text", F.lit(""))
+    answer = F.when(m == 2, F.regexp_replace(t, "[0-9]", "")).otherwise(
+        F.concat(t, F.lit(" the answer is "), v)
+    )
+    gt = F.when(m == 0, F.concat(F.lit("gt-"), v)).when(m == 1, F.lit("")).otherwise(
+        F.lit(None).cast("string")
+    )
+    src = docs.select("doc_id", answer.alias("answer"), gt.alias("gt"))
+    with_gt, without_gt = answer_pipeline_root(src, "answer", "gt")
+    return with_gt.select("doc_id", "gt", F.lit("with_gt").alias("branch")).unionAll(
+        without_gt.select("doc_id", "gt", F.lit("without_gt").alias("branch"))
+    )
+
+
+_REASONING_ORACLES_ROOT = {
+    "answer_pipeline_root": """
+        WITH base AS (
+          SELECT doc_id, CAST((doc_id * 37) % 1000 AS VARCHAR) AS v,
+                 doc_id % 3 AS m, coalesce(text, '') AS t
+          FROM documents),
+        x AS (SELECT doc_id,
+                     CASE WHEN m = 2 THEN regexp_replace(t, '[0-9]', '', 'g')
+                          ELSE t || ' the answer is ' || v END AS answer,
+                     CASE WHEN m = 0 THEN 'gt-' || v
+                          WHEN m = 1 THEN '' ELSE NULL END AS gt
+              FROM base),
+        f AS (SELECT doc_id,
+                     CASE WHEN gt IS NOT NULL AND gt <> '' THEN gt
+                          WHEN answer IS NULL OR answer = '' THEN NULL
+                          ELSE (CASE WHEN regexp_extract(answer, '\\\\boxed\\{([^}]*)\\}', 1) <> ''
+                                     THEN regexp_extract(answer, '\\\\boxed\\{([^}]*)\\}', 1)
+                                     ELSE regexp_extract_all(answer, '-?\\d+(?:\\.\\d+)?')[-1]
+                                END) END AS gt
+              FROM x)
+        SELECT doc_id, gt, 'with_gt' AS branch FROM f
+        WHERE gt IS NOT NULL AND gt <> ''
+        UNION ALL
+        SELECT doc_id, NULL AS gt, 'without_gt' AS branch FROM f
+        WHERE NOT (gt IS NOT NULL AND gt <> '')""",
+}
+
+
 _SQL_MATCH_PAIRS = [
     ("select 1 + 1", "select 2", 1),
     ("select @ as a", "select @", 1),  # column names ignored
@@ -2974,6 +3025,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "perplexity_lm_filter": _q_perplexity_lm_filter,
             "superfiltering_ifd": _q_superfiltering_ifd,
             "answer_token_length_filter": _q_answer_token_length_filter,
+            "answer_pipeline_root": _q_answer_pipeline_root,
             "answer_judger_math": _q_answer_judger_math,
             "sql_execution_match": _q_sql_execution_match,
             "sample_hash_fraction": _q_sample_hash_fraction,
@@ -3089,6 +3141,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_LM_ORACLES_IFD)
     o.update(_SAMPLING_ORACLES)
     o.update(_REASONING_ORACLES)
+    o.update(_REASONING_ORACLES_ROOT)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()

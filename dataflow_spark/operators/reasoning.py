@@ -87,6 +87,45 @@ def math_answers_match(answer: Column, gt: Column, rel_tol: float = 1e-9) -> Col
     return F.when(va.isNotNull() & vg.isNotNull(), num_ok).otherwise(str_ok)
 
 
+def extract_final_answer(c: Column) -> Column:
+    """Deterministic final-answer extraction (the AnswerExtraction shape):
+    \\boxed{...} content when present, else the LAST number in the text,
+    NULL when neither exists."""
+    s = F.coalesce(c, F.lit(""))
+    boxed = F.regexp_extract(s, r"\\boxed\{([^}]*)\}", 1)
+    last_num = F.try_element_at(
+        F.regexp_extract_all(s, F.lit(r"-?\d+(?:\.\d+)?"), F.lit(0)), F.lit(-1)
+    )
+    return F.when(boxed != "", boxed).otherwise(last_num)
+
+
+def answer_pipeline_root(
+    df: DataFrame, answer_col: str, gt_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """AnswerPipelineRoot (reasoning/filter/answer_pipeline_root.py:45-87):
+    backfill a missing/empty ground truth by extracting the final answer
+    from the model answer (the reference runs its AnswerExtractor; here
+    the same deterministic boxed-else-last-number extractor), then split
+    into ``(with_gt, without_gt)``. The without-GT branch's gt column is
+    nulled, exactly as the reference does before writing that branch."""
+    gt = F.col(gt_col)
+    ans = F.col(answer_col)
+    filled = F.when(gt.isNotNull() & (gt != ""), gt).otherwise(
+        F.when(ans.isNull() | (ans == ""), F.lit(None)).otherwise(
+            extract_final_answer(ans)
+        )
+    )
+    tagged = df.withColumn(gt_col, filled)
+    # isNotNull & != '' is never NULL (false AND null = false), so the two
+    # branches partition the rows exactly
+    has_gt = F.col(gt_col).isNotNull() & (F.col(gt_col) != "")
+    with_gt = tagged.filter(has_gt)
+    without_gt = tagged.filter(~has_gt).withColumn(
+        gt_col, F.lit(None).cast("string")
+    )
+    return with_gt, without_gt
+
+
 def answer_judger_math(
     df: DataFrame,
     answer_col: str,

@@ -45,6 +45,7 @@ def _build() -> dict[str, Callable]:
     )
     from dataflow_spark.operators.reasoning import (
         answer_judger_math,
+        answer_pipeline_root,
         answer_token_length_filter,
     )
     from dataflow_spark.operators.sampling import (
@@ -93,6 +94,7 @@ def _build() -> dict[str, Callable]:
             "lm.perplexity_filter": perplexity_filter,
             "lm.superfiltering_ifd": superfiltering_ifd,
             "reason.answer_token_length": answer_token_length_filter,
+            "reason.answer_pipeline_root": answer_pipeline_root,
             "reason.answer_judger_math": answer_judger_math,
             "sample.hash_fraction": sample_hash_fraction,
             "sample.stratified_n": stratified_sample_n,

@@ -55,6 +55,30 @@ def test_answer_token_length_filter(spark):
     assert kept == {0, 1}  # ceil(500/4)=125 > 30
 
 
+def test_answer_pipeline_root_branches(spark):
+    """GT backfill + branch split: explicit GT passes through, missing GT
+    is extracted from the answer (boxed else last number), unextractable
+    rows route to the without-GT branch with gt nulled."""
+    from dataflow_spark.operators.reasoning import answer_pipeline_root
+
+    rows = [
+        (0, "whatever 7", "given-gt"),       # explicit GT wins
+        (1, "compute: 3 + 4 = 7", ""),       # extract last number → '7'
+        (2, "\\boxed{42} obviously 9", None),  # boxed beats last number
+        (3, "no numbers at all", None),       # unextractable → without
+        (4, "", "  "),                        # '  ' is non-empty → with (reference != '' check)
+        (5, None, None),                      # nothing → without
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["i", "answer", "gt"])
+    )
+    w, wo = answer_pipeline_root(df, "answer", "gt")
+    got_w = {r["i"]: r["gt"] for r in w.collect()}
+    got_wo = {r["i"]: r["gt"] for r in wo.collect()}
+    assert got_w == {0: "given-gt", 1: "7", 2: "42", 4: "  "}
+    assert got_wo == {3: None, 5: None}
+
+
 def test_sql_execution_match_verdicts(spark):
     from dataflow_spark.operators.text2sql import sql_execution_match
 
