@@ -382,6 +382,104 @@ def _q_dedup_exact_md5(spark, sf):
     return D.dedup_exact(df, ["text"], "doc_id", algo="md5")
 
 
+def _q_dedup_ccnet_sha1_64(spark, sf):
+    """The REAL CCNetDeduplicator path (ccnet_deduplicator.py:9-39):
+    first-wins on the 64-bit sha1 prefix, via the engine's
+    dedup_exact(algo='ccnet'). DuckDB 1.0 has no sha1 builtin — the
+    oracle IMPLEMENTS SHA-1 itself as a recursive CTE (padding, message
+    schedule, all 80 rounds per block in 32-bit BIGINT arithmetic,
+    verified byte-for-byte against hashlib on boundary vectors and the
+    full corpus), so the true crypto path has an exact independent twin."""
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return D.dedup_exact(df, ["text"], "doc_id", algo="ccnet")
+
+
+_SHA1_M = 4294967295
+
+
+def _sha1_cte_sql(src_select: str) -> str:
+    """Recursive-CTE SHA-1 over ``src_select`` (must yield (id, txt)).
+    Emits CTEs ending in ``sha1hex(id, hx20)`` = lowercase hex digest.
+    State machine: one recursion step per (block, round); the 16-entry
+    message schedule window rides along as a BIGINT list; block
+    boundaries fold the working vars into h0..h4. All arithmetic is
+    BIGINT masked to 32 bits; rotations are shift/or/mask (note the outer
+    parens on the mask — '&' binds looser than '+' in SQL)."""
+    m = _SHA1_M
+    rotl = lambda x, n: (  # noqa: E731
+        f"(((({x}) << {n}) | (({x}) >> {32 - n})) & {m})"
+    )
+    return f"""
+    src AS (SELECT id, hex(encode(txt)) AS hx, octet_length(encode(txt)) AS len
+            FROM ({src_select})),
+    pad AS (SELECT id,
+                   hx || '80'
+                      || repeat('0', 2 * (CASE WHEN (len % 64) < 56
+                                               THEN 55 - (len % 64)
+                                               ELSE 119 - (len % 64) END))
+                      || lpad(hex(len * 8), 16, '0') AS ph
+            FROM src),
+    blocks AS (SELECT id, ph, (length(ph) / 128)::INT AS nblk FROM pad),
+    sha AS (
+      SELECT id, 0 AS blk, 0 AS rnd,
+             1732584193::BIGINT AS h0, 4023233417::BIGINT AS h1,
+             2562383102::BIGINT AS h2, 271733878::BIGINT AS h3,
+             3285377520::BIGINT AS h4,
+             1732584193::BIGINT AS a, 4023233417::BIGINT AS b,
+             2562383102::BIGINT AS c, 271733878::BIGINT AS d,
+             3285377520::BIGINT AS e,
+             []::BIGINT[] AS w
+      FROM blocks
+      UNION ALL
+      SELECT id, nblk_out AS blk, rnd_out AS rnd,
+             h0n, h1n, h2n, h3n, h4n, an, bn, cn, dn, en, wn
+      FROM (
+        SELECT s.id,
+               CASE WHEN s.rnd < 79 THEN s.blk ELSE s.blk + 1 END AS nblk_out,
+               CASE WHEN s.rnd < 79 THEN s.rnd + 1 ELSE 0 END AS rnd_out,
+               CASE WHEN s.rnd < 79 THEN s.h0 ELSE (s.h0 + temp) & {m} END AS h0n,
+               CASE WHEN s.rnd < 79 THEN s.h1 ELSE (s.h1 + s.a) & {m} END AS h1n,
+               CASE WHEN s.rnd < 79 THEN s.h2 ELSE (s.h2 + rb) & {m} END AS h2n,
+               CASE WHEN s.rnd < 79 THEN s.h3 ELSE (s.h3 + s.c) & {m} END AS h3n,
+               CASE WHEN s.rnd < 79 THEN s.h4 ELSE (s.h4 + s.d) & {m} END AS h4n,
+               CASE WHEN s.rnd < 79 THEN temp ELSE (s.h0 + temp) & {m} END AS an,
+               CASE WHEN s.rnd < 79 THEN s.a  ELSE (s.h1 + s.a) & {m} END AS bn,
+               CASE WHEN s.rnd < 79 THEN rb   ELSE (s.h2 + rb) & {m} END AS cn,
+               CASE WHEN s.rnd < 79 THEN s.c  ELSE (s.h3 + s.c) & {m} END AS dn,
+               CASE WHEN s.rnd < 79 THEN s.d  ELSE (s.h4 + s.d) & {m} END AS en,
+               CASE WHEN s.rnd < 79 THEN list_append(s.w, wt) ELSE []::BIGINT[] END AS wn
+        FROM (
+          SELECT s.*, b.ph, b.nblk,
+                 CASE WHEN s.rnd < 16
+                      THEN ('0x' || substr(b.ph, s.blk * 128 + s.rnd * 8 + 1, 8))::BIGINT
+                      ELSE {rotl("xor(xor(s.w[s.rnd - 2], s.w[s.rnd - 7]),"
+                                 " xor(s.w[s.rnd - 13], s.w[s.rnd - 15]))", 1)}
+                 END AS wt,
+                 CASE WHEN s.rnd < 20 THEN (s.b & s.c) | (xor(s.b, {m}) & s.d)
+                      WHEN s.rnd < 40 THEN xor(xor(s.b, s.c), s.d)
+                      WHEN s.rnd < 60 THEN (s.b & s.c) | (s.b & s.d) | (s.c & s.d)
+                      ELSE xor(xor(s.b, s.c), s.d) END AS f,
+                 CASE WHEN s.rnd < 20 THEN 1518500249::BIGINT
+                      WHEN s.rnd < 40 THEN 1859775393::BIGINT
+                      WHEN s.rnd < 60 THEN 2400959708::BIGINT
+                      ELSE 3395469782::BIGINT END AS k,
+                 {rotl("s.b", 30)} AS rb
+          FROM sha s JOIN blocks b USING (id)
+          WHERE s.blk < b.nblk
+        ) s,
+        LATERAL (SELECT ({rotl("s.a", 5)} + s.f + s.e + s.k + s.wt) & {m} AS temp) t
+      )
+    ),
+    sha1hex AS (
+      SELECT sha.id,
+             lower(lpad(hex(h0), 8, '0') || lpad(hex(h1), 8, '0')
+                   || lpad(hex(h2), 8, '0') || lpad(hex(h3), 8, '0')
+                   || lpad(hex(h4), 8, '0')) AS hx20
+      FROM sha JOIN blocks USING (id)
+      WHERE sha.blk = blocks.nblk AND sha.rnd = 0
+    )"""
+
+
 def _q_dedup_ccnet_twin_md5(spark, sf):
     # TWIN, not the real thing: md5-prefix analogue of ccnet's sha1-64bit
     # first-wins machinery, named so the green row says what it checks
@@ -2999,6 +3097,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         {
             "dedup_exact_md5": _q_dedup_exact_md5,
+            "dedup_ccnet_sha1_64": _q_dedup_ccnet_sha1_64,
             "dedup_ccnet_twin_md5": _q_dedup_ccnet_twin_md5,
             "dedup_ccnet_sha256_64": _q_dedup_ccnet_sha256_64,
             "dedup_minhash_lsh": _q_dedup_minhash,
@@ -3104,6 +3203,14 @@ def build_oracles() -> dict[str, str]:
                  row_number() OVER (PARTITION BY md5(coalesce(text, ''))
                                     ORDER BY doc_id) AS rn
           FROM documents)
+        SELECT doc_id, text FROM r WHERE rn = 1"""
+    o["dedup_ccnet_sha1_64"] = f"""
+        WITH RECURSIVE {_sha1_cte_sql("SELECT doc_id AS id, coalesce(text, '') AS txt FROM documents")},
+        r AS (
+          SELECT d.doc_id, d.text,
+                 row_number() OVER (PARTITION BY substr(s.hx20, 1, 16)
+                                    ORDER BY d.doc_id) AS rn
+          FROM documents d JOIN sha1hex s ON s.id = d.doc_id)
         SELECT doc_id, text FROM r WHERE rn = 1"""
     o["dedup_ccnet_twin_md5"] = """
         WITH r AS (
