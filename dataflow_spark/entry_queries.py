@@ -3086,6 +3086,28 @@ def _q_multimodal_features(spark, sf):
     )
 
 
+# exact twin: the md5-arithmetic asset synthesis is re-derived in SQL and
+# content_sha recomputed with DuckDB's own sha256 — the mapInPandas
+# metadata path (lengths, hashes, frame sampling) is independently checked
+_MULTIMODAL_ORACLE = {
+    "multimodal_features": """
+        WITH a AS (
+          SELECT u.i AS asset_id,
+                 ['image', 'audio', 'video'][(u.i % 3) + 1] AS modality,
+                 256 + (('0x' || substr(md5('len:5:' || u.i), 1, 8))::BIGINT % 4096) AS l
+          FROM unnest(range(0, 64)) AS u(i)),
+        p AS (SELECT asset_id, modality, l,
+                     substr(array_to_string(list_transform(range(0, 140),
+                              j -> md5('pay:5:' || asset_id || ':' || j)), ''),
+                            1, l::INT) AS pay
+              FROM a)
+        SELECT asset_id, modality, CAST(l AS INT) AS n_bytes,
+               sha256(pay) AS content_sha,
+               CAST(l // 10000 AS INT) AS frames_sampled
+        FROM p"""
+}
+
+
 # ------------------------------------------------------------------ registry
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3249,6 +3271,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_SAMPLING_ORACLES)
     o.update(_REASONING_ORACLES)
     o.update(_REASONING_ORACLES_ROOT)
+    o.update(_MULTIMODAL_ORACLE)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()

@@ -83,13 +83,25 @@ def extract_features(df: DataFrame, frame_stride: int = 10) -> DataFrame:
 
 
 def synth_assets(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic fake binary assets (payload = seeded bytes) — the test
-    corpus for the multimodal plumbing."""
-    rng = np.random.RandomState(seed)
+    """Deterministic fake binary assets — the test corpus for the
+    multimodal plumbing. Payload bytes are md5-arithmetic (length =
+    256 + md5int('len:seed:i') % 4096; content = md5-hex chunk stream
+    truncated to that length, ASCII bytes): exactly SQL-replayable, so
+    the multimodal_features query has an exact DuckDB oracle — the
+    binary column, Arrow batches and decoder plumbing neither know nor
+    care that the fake bytes happen to be ASCII."""
     rows = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = rng.bytes(256 + int(rng.randint(0, 4096)))
+        length = 256 + int(
+            hashlib.md5(f"len:{seed}:{i}".encode()).hexdigest()[:8], 16
+        ) % 4096
+        chunks: list[str] = []
+        j = 0
+        while 32 * len(chunks) < length:
+            chunks.append(hashlib.md5(f"pay:{seed}:{i}:{j}".encode()).hexdigest())
+            j += 1
+        payload = "".join(chunks)[:length].encode("ascii")
         rows.append((i, modality, bytearray(payload), f"{modality}/fake"))
     pdf = pd.DataFrame(rows, columns=["asset_id", "modality", "payload", "mime"])
     return spark.createDataFrame(pdf)
