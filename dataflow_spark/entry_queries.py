@@ -2720,6 +2720,89 @@ def _q_sketch_profile(spark, sf):
     )
 
 
+_KMV_K = 64
+
+
+def _q_sketch_profile_kmv(spark, sf):
+    """Deterministic sketch profile with EXACT SQL replay — the
+    alternative to `sketch_profile`'s HLL/approx_percentile (which are
+    engine-specific and therefore rows-only): per event_type, a KMV
+    (k-minimum-values) distinct-user estimate ``(k-1)/u_k`` over the k
+    smallest md5-uniform hashes of the distinct users, and an exact
+    median over a deterministic 10% hash-sample of the values. KMV state
+    is k doubles — mergeable and tiny, the sketch family you'd run at
+    100 TB (here ranked via a window for clarity; a cluster deployment
+    folds it into a min-k aggregate). Falls back to the exact distinct
+    count when a group has fewer than k users (the KMV rule)."""
+    ev = _t(spark, sf, "events")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") / F.lit(4294967296.0)
+    )
+    du = (
+        ev.select("event_type", "user_id").distinct()
+        .select("event_type", u.alias("u"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("u").asc())
+    kth = (
+        du.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("event_type", F.col("u").alias("uk"))
+    )
+    exact = du.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    kmv = exact.join(kth, "event_type", "left").select(
+        "event_type",
+        F.round(
+            F.coalesce((F.lit(_KMV_K - 1) / F.col("uk")), F.col("n_exact").cast("double")),
+            4,
+        ).alias("kmv_users"),
+    )
+    su = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("smp:"), F.col("event_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long") / F.lit(4294967296.0)
+    )
+    samp = (
+        ev.filter(su < 0.1)
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("sample_p50"),
+             F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return kmv.join(samp, "event_type", "left")
+
+
+_SKETCH_KMV_ORACLE = {
+    "sketch_profile_kmv": f"""
+        WITH u AS (
+          SELECT DISTINCT event_type, user_id,
+                 (('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                  / 4294967296.0) AS u
+          FROM events),
+        r AS (SELECT event_type, u,
+                     row_number() OVER (PARTITION BY event_type ORDER BY u ASC) AS rn
+              FROM u),
+        kth AS (SELECT event_type, u AS uk FROM r WHERE rn = {_KMV_K}),
+        ex AS (SELECT event_type, count(*) AS n_exact FROM u GROUP BY event_type),
+        kmv AS (SELECT ex.event_type,
+                       round(coalesce({_KMV_K - 1} / kth.uk, CAST(ex.n_exact AS DOUBLE)), 4)
+                         AS kmv_users
+                FROM ex LEFT JOIN kth USING (event_type)),
+        samp AS (
+          SELECT event_type,
+                 round(quantile_cont(value, 0.5), 4) AS sample_p50,
+                 count(*) AS n_sampled
+          FROM events
+          WHERE (('0x' || substr(md5('smp:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+                 / 4294967296.0) < 0.1
+          GROUP BY event_type)
+        SELECT kmv.event_type, kmv.kmv_users, samp.sample_p50, samp.n_sampled
+        FROM kmv LEFT JOIN samp USING (event_type)"""
+}
+
+
 def _q_kcenter_select(spark, sf):
     """ContentChooser shape (agentic_rag/filter/content_chooser.py:140):
     kcenter-greedy diverse selection over embeddings (k=12)."""
@@ -3193,6 +3276,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sft_from_seed": _q_sft_from_seed,
             "kcenter_select": _q_kcenter_select,
             "events_profile": _q_events_profile,
+            "sketch_profile_kmv": _q_sketch_profile_kmv,
             "sketch_profile": _q_sketch_profile,
             "answer_extraction": _q_answer_extraction,
             "category_classify": _q_category_classify,
@@ -3272,6 +3356,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_REASONING_ORACLES)
     o.update(_REASONING_ORACLES_ROOT)
     o.update(_MULTIMODAL_ORACLE)
+    o.update(_SKETCH_KMV_ORACLE)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()
