@@ -93,10 +93,10 @@ def _pii_oracle_expr() -> str:
 _REFINER_ORACLES["redact_pii"] = _pii_oracle_expr()
 
 
-def _ccnet_norm_oracle_expr() -> str:
+def _ccnet_norm_oracle_expr(src: str = "text") -> str:
     # the SAME pinned table as the engine (text.CCNET_UNICODE_PUNCT)
     expr = (
-        "regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),"
+        f"regexp_replace(regexp_replace({src}, '^\\s+|\\s+$', '', 'g'),"
         " '[0-9０-９]', '0', 'g')"
     )
     for src, dst in X.CCNET_UNICODE_PUNCT:
@@ -1127,19 +1127,19 @@ _PPL_MAX = 30.0
 
 
 def _q_superfiltering_ifd(spark, sf):
-    """Superfiltering IFD over documents, instruction = text up to the
-    first '. ' (inclusive), response = the rest — empty response (no
-    sentence break) scores NULL, as the reference does for output==''."""
-    df = _t(spark, sf, "documents").select("doc_id", F.coalesce("text", F.lit("")).alias("text"))
-    pos = F.instr(F.col("text"), ". ")
+    """Superfiltering IFD over documents: instruction = first 8 tokens,
+    response = the rest (the synthetic corpus has no sentence breaks, so
+    a token split — the sft_from_seed convention — keeps the query
+    non-vacuous); docs of <= 8 tokens have an empty response and score
+    NULL, as the reference does for output == ''."""
+    df = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda x: x != "")
     split = df.select(
         "doc_id",
-        F.when(pos > 0, F.substring(F.col("text"), F.lit(1), pos)).otherwise(
-            F.col("text")
-        ).alias("instr"),
-        F.when(pos > 0, F.substring(F.col("text"), pos + 2, F.length("text"))).otherwise(
-            F.lit("")
-        ).alias("resp"),
+        F.array_join(F.slice(toks, 1, 8), " ").alias("instr"),
+        F.array_join(F.slice(toks, 9, 1_000_000), " ").alias("resp"),
     )
     return LM.superfiltering_ifd(split, "doc_id", "instr", "resp")
 
@@ -1148,15 +1148,16 @@ _IFD_TOK = "list_filter(regexp_split_to_array(lower({x}), '\\s+'), t -> t <> '')
 
 _LM_ORACLES_IFD = {
     "superfiltering_ifd": f"""
-        WITH src AS (
+        WITH t0 AS (
           SELECT doc_id,
-                 CASE WHEN strpos(coalesce(text, ''), '. ') > 0
-                      THEN substr(coalesce(text, ''), 1, strpos(coalesce(text, ''), '. '))
-                      ELSE coalesce(text, '') END AS instr,
-                 CASE WHEN strpos(coalesce(text, ''), '. ') > 0
-                      THEN substr(coalesce(text, ''), strpos(coalesce(text, ''), '. ') + 2)
-                      ELSE '' END AS resp
+                 list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+                             t -> t <> '') AS tk0
           FROM documents),
+        src AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(tk0, 1, 8), ' ') AS instr,
+                 array_to_string(list_slice(tk0, 9, len(tk0)), ' ') AS resp
+          FROM t0),
         wtoks AS (SELECT doc_id AS id, {_IFD_TOK.format(x="instr || chr(10) || resp")} AS tk
                   FROM src),
         big AS (SELECT t.id, u.i AS pos,
@@ -3124,6 +3125,37 @@ _EXTRA_ORACLES["sql_execution_filter"] = f"""
 _EXTRA_ORACLES["sql_execution_match"] = _sql_match_oracle()
 
 
+def _q_ccnet_normalize_doc(spark, sf):
+    """CCNet normalization over genuinely dirty-shaped input: each doc is
+    framed with leading whitespace, ASCII+fullwidth digits, unicode
+    punctuation and a control char so every stage of the chain fires —
+    the plain refine_ccnet_normalize row only sees the (clean) raw corpus
+    and degenerates to an identity check."""
+    from dataflow_spark.functions.refiners import REFINERS
+
+    docs = _t(spark, sf, "documents")
+    i = F.col("doc_id").cast("string")
+    shaped = F.concat(
+        F.lit("  "), F.coalesce("text", F.lit("")),
+        F.lit(" price ９９ vs "), i,
+        F.lit(" «quote» — end…\x07"),
+    )
+    return docs.select(
+        "doc_id", REFINERS["ccnet_normalize"].native(shaped).alias("text")
+    )
+
+
+_CCNET_SHAPE_SQL = (
+    "('  ' || coalesce(text, '') || ' price ９９ vs ' ||"
+    " CAST(doc_id AS VARCHAR) || ' «quote» — end…' || chr(7))"
+)
+
+_EXTRA_ORACLES["ccnet_normalize_doc"] = (
+    f"SELECT doc_id, {_ccnet_norm_oracle_expr(_CCNET_SHAPE_SQL)} AS text"
+    " FROM documents"
+)
+
+
 def _q_html_to_markdown_doc(spark, sf):
     """FileOrURLToMarkdownConverter text path over genuinely HTML-shaped
     input: each document wrapped in a deterministic HTML scaffold
@@ -3242,6 +3274,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "sql_component_classify": _q_sql_component_classify,
             "sql_execution_filter": _q_sql_execution_filter,
             "html_to_markdown_doc": _q_html_to_markdown_doc,
+            "ccnet_normalize_doc": _q_ccnet_normalize_doc,
             "split_chars": _q_split_chars,
             "split_words": _q_split_words,
             "split_sentences": _q_split_sentences,
