@@ -55,6 +55,66 @@ def test_answer_token_length_filter(spark):
     assert kept == {0, 1}  # ceil(500/4)=125 > 30
 
 
+def _py_math_value(s: str):
+    """Sequential Python transcription of reasoning.math_answer_value —
+    the fuzz reference. (?a): the engine's grammar is ASCII (Java and RE2
+    \\d agree on that); Python's unicode \\d and float() would otherwise
+    accept fullwidth digits the engine deliberately rejects."""
+    import re
+
+    s = s or ""
+    m = re.search(r"\\boxed\{([^}]*)\}", s)
+    if m and m.group(1) != "":
+        s = m.group(1)
+    s = re.sub(r"[$,]", "", s.strip()).strip()
+    s = re.sub(r"\.$", "", s)
+    for pat in (r"(?a)^\\frac\{(-?\d+)\}\{(-?\d+)\}$",
+                r"(?a)^(-?\d+)\s*/\s*(-?\d+)$"):
+        m = re.match(pat, s)
+        if m:
+            a, b = float(m.group(1)), float(m.group(2))
+            return None if b == 0 else a / b
+    m = re.match(r"(?a)^(-?\d+(?:\.\d+)?)%$", s)
+    if m:
+        return float(m.group(1)) / 100.0
+    if re.match(r"(?a)^-?\d+(?:\.\d+)?$", s):
+        return float(s)
+    return None
+
+
+def test_math_value_fuzz_vs_python(spark):
+    """Randomized (seeded) answer strings through every grammar branch —
+    Spark's parse must agree with the Python transcription exactly,
+    including which strings parse at all."""
+    import random
+
+    from dataflow_spark.operators.reasoning import math_answer_value
+
+    rnd = random.Random(99)
+    pieces = ["42", "-7", "3.50", "1,234", "$99", "50%", "-12.5%", "84/2",
+              "8 / 4", "1/0", "\\frac{9}{3}", "\\frac{1}{0}", "\\boxed{17}",
+              "\\boxed{-2.5}", "\\boxed{}", "word", "x3", "3x", "", "  42  ",
+              "42.", "..", "-", "4 2", "１２"]
+    cases = []
+    for _ in range(300):
+        n = rnd.randint(1, 2)
+        cases.append(" ".join(rnd.choice(pieces) for _ in range(n)))
+    cases += pieces
+    df = spark.createDataFrame(
+        pd.DataFrame({"i": range(len(cases)), "s": cases})
+    )
+    got = {
+        r["i"]: r["v"]
+        for r in df.select("i", math_answer_value(F.col("s")).alias("v")).collect()
+    }
+    for i, s in enumerate(cases):
+        exp = _py_math_value(s)
+        if exp is None:
+            assert got[i] is None, (s, got[i])
+        else:
+            assert got[i] == pytest.approx(exp, abs=1e-12), (s, got[i], exp)
+
+
 def test_answer_pipeline_root_branches(spark):
     """GT backfill + branch split: explicit GT passes through, missing GT
     is extracted from the answer (boxed else last number), unextractable
