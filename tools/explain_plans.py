@@ -28,8 +28,11 @@ HEADLINE = [
     "kcenter_select",
     "ann_topk_ivf",
     "score_bigram_perplexity",
+    "superfiltering_ifd",
     "sample_hash_fraction",
     "cap_per_source",
+    "answer_judger_math",
+    "sketch_profile_kmv",
 ]
 
 
