@@ -566,9 +566,13 @@ def _q_dedup_embedding(spark, sf):
 # verify passed".
 #
 # Caveats (hold on the synthetic tables at every SF: min text length 48,
-# pure-ASCII): docs shorter than the 5-byte shingle window and empty-token
+# pure-ASCII): docs shorter than the 5-char shingle window and empty-token
 # docs are treated as never-colliding by the oracles, while the engine gives
 # them degenerate signatures that can collide with other degenerate rows.
+# The engine shingles CHAR 5-grams over their utf-8 bytes (datasketch unit);
+# on this pure-ASCII corpus that equals the byte-window polynomial the SQL
+# below computes via ord(substr(t,i,1)) — multibyte parity is pinned by
+# tests/test_dedup.py::test_minhash_multibyte_corpus_matches_sequential.
 
 
 def _greedy_dedup_oracle(prelude: str, edges_sql: str, final_select: str) -> str:

@@ -163,7 +163,11 @@ def read_db_paginated(
     exactly one range); rows inserted into an already-fetched range are
     simply not seen — append-mostly tables degrade gracefully instead of
     corrupting the scan."""
-    where = f" WHERE {where_sql}" if where_sql else ""
+    # Parenthesize the pushed predicate: keyset mode appends
+    # " AND order_col >= ?" to this clause, and a top-level OR in
+    # where_sql would otherwise bind the range condition to only the
+    # right disjunct (every page re-returning the left disjunct's rows).
+    where = f" WHERE ({where_sql})" if where_sql else ""
     if keyset:
         if not order_col:
             raise ValueError("keyset pagination requires order_col")

@@ -444,6 +444,43 @@ def _rolling_byte_ngram_hashes(b: bytes, n: int) -> np.ndarray:
     return np.unique(win @ powers).astype(np.uint64)
 
 
+def _char_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """All distinct CHAR-n-gram hashes: each shingle is the utf-8 byte
+    sequence of ``n`` consecutive characters (the reference/datasketch
+    unit — minhash_deduplicator.py:47-55 hashes ``s[i:i+n].encode()``),
+    hashed with the same base-257 polynomial, mod 2^64 for the multibyte
+    windows that exceed 7 bytes.
+
+    Pure-ASCII text takes the exact byte-window fast path (char windows
+    == byte windows there, and the polynomial is injective with no
+    wraparound) — identical values AND identical speed to the previous
+    byte-shingle kernel on ASCII corpora; only genuinely multibyte rows
+    pay the grouped-by-byte-length vectorized path. Texts shorter than
+    ``n`` CHARACTERS degenerate to one crc32 of the full encoding (the
+    pinned engine semantics for sub-window docs)."""
+    b = text.encode("utf-8")
+    arr = np.frombuffer(b, dtype=np.uint8)
+    if arr.size == 0 or (arr < 0x80).all():
+        return _rolling_byte_ngram_hashes(b, n)
+    starts = np.flatnonzero((arr & 0xC0) != 0x80)  # char start offsets
+    if starts.size < n:
+        return np.array([zlib.crc32(b)], dtype=np.uint64)
+    s0 = starts[: starts.size - n + 1]
+    ends = np.append(starts[n:], arr.size)  # byte end of each n-char window
+    lens = ends - s0
+    a64 = arr.astype(np.uint64)
+    out = np.empty(s0.size, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # mod-2^64 wraparound IS the hash
+        for L in np.unique(lens):
+            idx = np.flatnonzero(lens == L)
+            block = a64[s0[idx][:, None] + np.arange(int(L))[None, :]]
+            h = np.zeros(idx.size, dtype=np.uint64)
+            for j in range(int(L)):  # Horner over <= 4n byte columns
+                h = h * np.uint64(257) + block[:, j]
+            out[idx] = h
+    return np.unique(out)
+
+
 def optimal_band_param(
     threshold: float,
     num_perm: int,
@@ -483,10 +520,11 @@ def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
     """Arrow pandas_udf: text → array<long> MinHash signature.
 
     Engine semantics (pinned): RAW text (reference shingles the unmodified
-    string: minhash_deduplicator.py:50-53), byte 5-gram shingle set over
-    the utf-8 encoding (the reference hashes char 5-grams' utf-8 bytes —
-    identical on ASCII, byte- vs char-windows differ only across multibyte
-    boundaries); universal hashing h_i(x)=(a_i*x+b_i) mod (2^61-1),
+    string: minhash_deduplicator.py:50-53), CHAR 5-gram shingle set with
+    each shingle hashed over its utf-8 bytes (the reference/datasketch
+    unit: ``s[i:i+5].encode('utf-8')`` — identical to byte windows on
+    ASCII, and now also faithful across multibyte boundaries on CJK/emoji
+    text); universal hashing h_i(x)=(a_i*x+b_i) mod (2^61-1),
     signature[i]=min_x h_i(x). (datasketch is unavailable here so the
     permutation family is pinned: multiply-shift hashing
     h_i(x) = (a_i*x + b_i) mod 2^64 with odd a_i — Dietzfelbinger et al.'s
@@ -503,10 +541,7 @@ def minhash_signature_udf(num_perm: int = 128, ngram: int = 5, seed: int = 1):
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(s: pd.Series) -> pd.Series:
-        hvs = [
-            _rolling_byte_ngram_hashes(v.encode("utf-8"), ngram)
-            for v in s.fillna("")
-        ]
+        hvs = [_char_ngram_hashes(v, ngram) for v in s.fillna("")]
         out: list = [None] * len(hvs)
         i = 0
         while i < len(hvs):
@@ -611,15 +646,13 @@ def dedup_minhash(
 
 
 def shingle_set_udf(ngram: int = 5):
-    """text → sorted distinct byte-n-gram hashes (the exact shingle set,
+    """text → sorted distinct char-n-gram hashes (the exact shingle set,
     raw text — same shingle definition as the MinHash signature)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _udf(s: pd.Series) -> pd.Series:
         def sh(v: str):
-            return _rolling_byte_ngram_hashes(v.encode("utf-8"), ngram).astype(
-                np.int64
-            ).tolist()
+            return _char_ngram_hashes(v, ngram).astype(np.int64).tolist()
 
         return s.fillna("").map(sh)
 

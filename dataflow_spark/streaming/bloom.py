@@ -132,26 +132,94 @@ def load_bloom(unit_dir: str):
         return None
 
 
-def any_bloom_filter_udf(spark: SparkSession, blooms):
-    """pandas_udf(__h1, __h2) → true iff ANY of the given ``(bits, m)``
-    filters might contain the key. Bitmaps ship once via broadcast."""
-    bc = spark.sparkContext.broadcast([(bits.tobytes(), m) for bits, m in blooms])
+def make_bloom_broadcast(spark: SparkSession, blooms):
+    """Broadcast a list of ``(bits, m)`` filters once; callers own the
+    lifecycle (``bc.unpersist()/destroy()`` when the state generation the
+    filters describe is replaced)."""
+    return spark.sparkContext.broadcast([(bits.tobytes(), m) for bits, m in blooms])
+
+
+def bloom_filter_udf(bcs):
+    """pandas_udf(__h1, __h2) → true iff ANY filter in ANY of the given
+    broadcasts might contain the key. Taking a LIST of broadcast handles
+    lets a long-running stream broadcast each immutable state unit's
+    filter exactly once and compose them per batch — only genuinely new
+    units ship bytes."""
 
     @F.pandas_udf("boolean")
     def might(h1: pd.Series, h2: pd.Series) -> pd.Series:
         u1 = _as_u64(h1.to_numpy(dtype=np.int64))
         u2 = _as_u64(h2.to_numpy(dtype=np.int64))
         res = np.zeros(len(u1), dtype=bool)
-        for raw, m in bc.value:
-            todo = ~res
-            if not todo.any():
-                break
-            res[todo] |= might_contain_vec(
-                np.frombuffer(raw, dtype=np.uint64), m, u1[todo], u2[todo]
-            )
+        for bc in bcs:
+            for raw, m in bc.value:
+                todo = ~res
+                if not todo.any():
+                    return pd.Series(res)
+                res[todo] |= might_contain_vec(
+                    np.frombuffer(raw, dtype=np.uint64), m, u1[todo], u2[todo]
+                )
         return pd.Series(res)
 
     return might
+
+
+def any_bloom_filter_udf(spark: SparkSession, blooms):
+    """One-shot convenience: broadcast + udf (caller leaks the broadcast —
+    long-running streams should use ``make_bloom_broadcast`` +
+    ``bloom_filter_udf`` and manage the lifecycle)."""
+    return bloom_filter_udf([make_bloom_broadcast(spark, blooms)])
+
+
+def sidecar_bytes(unit_dir: str):
+    """Size of the Bloom sidecar file, or ``None`` when absent — lets the
+    read path make load/skip decisions without touching the npz payload."""
+    path = bloom_sidecar_path(unit_dir)
+    try:
+        return os.path.getsize(path)
+    except OSError:
+        return None
+
+
+class BloomCache:
+    """Driver-side LRU over immutable unit-dir sidecars.
+
+    State unit dirs are write-once (per-batch dirs are written then
+    committed; compactions get fresh names), so a path is a sound cache
+    key. ``retain`` drops entries for units a compaction replaced;
+    ``max_bytes`` bounds driver memory — past it, cold probes re-read
+    sidecars from disk instead of growing the cache."""
+
+    def __init__(self, max_bytes: int = 256 << 20):
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self._entries = OrderedDict()  # path -> (bits, m) in LRU order
+        self._bytes = 0
+
+    def retain(self, unit_dirs) -> None:
+        keep = set(unit_dirs)
+        for path in [p for p in self._entries if p not in keep]:
+            bits, _m = self._entries.pop(path)
+            self._bytes -= bits.nbytes
+
+    def get(self, unit_dir: str):
+        """→ ``((bits, m), loaded_from_disk_bytes)`` or ``(None, 0)``."""
+        if unit_dir in self._entries:
+            val = self._entries.pop(unit_dir)
+            self._entries[unit_dir] = val  # refresh LRU position
+            return val, 0
+        val = load_bloom(unit_dir)
+        if val is None:
+            return None, 0
+        nbytes = val[0].nbytes
+        while self._entries and self._bytes + nbytes > self.max_bytes:
+            _, (old_bits, _om) = self._entries.popitem(last=False)
+            self._bytes -= old_bits.nbytes
+        if self._bytes + nbytes <= self.max_bytes:
+            self._entries[unit_dir] = val
+            self._bytes += nbytes
+        return val, nbytes
 
 
 def dir_parquet_bytes(unit_dir: str) -> int:

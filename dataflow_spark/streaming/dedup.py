@@ -44,14 +44,21 @@ units actually read makes the final call — pruning can never change the
 keep-set. ``last_state_read`` records units/bytes read per batch (the
 quantity the scale test asserts flat).
 
-Honest envelope: the Bloom sidecars cost ~2 bytes per committed band
-(16 bits/key), so the broadcast prefilter carries ~2 GB per 10^9 bands —
-fine to ~10^10, beyond which the levers are (a) the event-time retention
-horizon (already the state-bounding knob), (b) fewer bits/key for the
-batch-side prefilter only (per-unit probes stay at 16), or (c) sharding
-the dedup by band-hash prefix into independent pipelines, each carrying
-only its shard's filters. Bytes READ per batch stay flat in all cases;
-it is the filter METADATA that eventually needs sharding.
+Bounded filter METADATA as well (not just bounded reads): below
+``prefilter_broadcast_max_bytes`` of total sidecars, the batch-side
+prefilter is a union-of-Blooms broadcast — broadcast PER IMMUTABLE UNIT,
+created when a unit first commits and destroyed when compaction replaces
+it, so a micro-batch ships only the previous batch's new filter and
+nothing accretes over the stream's life. Past the cap the prefilter
+switches to a sharded driver probe: the batch's DISTINCT band hashes
+(bounded by batch size, independent of state size) probe the unit Blooms
+driver-side, and compaction buckets none of the batch's bands hash into
+are never loaded at all — per-batch broadcast bytes are ZERO and driver
+memory is LRU-capped (``bloom_cache_max_bytes``), with cold probes
+re-reading only the sidecars their buckets hash into. The remaining
+unbounded quantity is sidecar bytes ON DISK (~2 B/committed band — 2 TB
+at 10^12 bands, cheap storage); the event-time retention horizon stays
+the knob that bounds even that.
 """
 
 from __future__ import annotations
@@ -71,13 +78,15 @@ from dataflow_spark.operators.dedup import (
     minhash_bucket_table,
 )
 from dataflow_spark.streaming.bloom import (
-    any_bloom_filter_udf,
+    BloomCache,
     band_hash_cols,
+    bloom_filter_udf,
     build_bloom,
     dir_parquet_bytes,
-    load_bloom,
+    make_bloom_broadcast,
     might_contain_vec,
     save_bloom,
+    sidecar_bytes,
 )
 
 
@@ -120,6 +129,8 @@ class StreamingFirstWinsDedup:
         ts_col: str | None = None,
         compact_every: int | None = 32,
         n_buckets: int = 16,
+        prefilter_broadcast_max_bytes: int = 64 << 20,
+        bloom_cache_max_bytes: int = 256 << 20,
     ):
         self.state_dir = state_dir
         self.order_col = order_col
@@ -131,6 +142,15 @@ class StreamingFirstWinsDedup:
         self.ts_col = ts_col
         self.compact_every = compact_every
         self.n_buckets = n_buckets
+        # past this many bytes of Bloom sidecars, the batch-side prefilter
+        # switches from one union broadcast to the sharded driver probe —
+        # broadcast filter bytes per batch drop to ZERO and compaction
+        # buckets the batch's bands don't hash into are never even loaded
+        self.prefilter_broadcast_max_bytes = prefilter_broadcast_max_bytes
+        self._bloom_cache = BloomCache(bloom_cache_max_bytes)
+        self._unit_bcs: dict = {}  # unit dir -> (Broadcast, nbytes)
+        self._gen_bytes = 0  # live broadcast bytes across all unit filters
+        self._batch_persists: list = []  # per-batch persisted DFs to release
         # per-batch read telemetry: {"units_total", "units_read",
         # "bytes_read", "candidates"} — the scale test asserts bytes_read
         # stays ~flat as committed state grows
@@ -217,56 +237,156 @@ class StreamingFirstWinsDedup:
 
     # --------------------------------------------------------------- process
 
+    @staticmethod
+    def _unit_bucket(unit_dir: str) -> int | None:
+        """Compaction bucket id of a state unit, or None (per-batch dir /
+        legacy unbucketed compaction)."""
+        base = os.path.basename(unit_dir)
+        if base.startswith("__bkt="):
+            return int(base.split("=", 1)[1])
+        return None
+
+    def _drop_generation(self) -> None:
+        for path in list(self._unit_bcs):
+            self._destroy_unit_bc(path)
+
+    def _destroy_unit_bc(self, path: str) -> None:
+        bc, nbytes = self._unit_bcs.pop(path)
+        self._gen_bytes -= nbytes
+        try:
+            bc.destroy()
+        except Exception:  # noqa: BLE001 - already-stopped context
+            pass
+
+    def _generation_udf(self, spark: SparkSession, units: list[str]):
+        """(udf, sidecar_bytes_loaded) — ONE broadcast per immutable state
+        UNIT, created when the unit first appears and destroyed when a
+        compaction replaces it. A micro-batch therefore ships only the
+        previous batch's new filter; nothing accretes across the stream's
+        life (the r4 leak: a fresh union broadcast per batch, never
+        unpersisted). Returns (None, loaded) when a sidecar turns out
+        unreadable (caller falls back to the exact full read)."""
+        current = set(units)
+        for path in [p for p in self._unit_bcs if p not in current]:
+            self._destroy_unit_bc(path)
+        loaded = 0
+        for u in units:
+            if u not in self._unit_bcs:
+                val, got = self._bloom_cache.get(u)
+                loaded += got
+                if val is None:
+                    return None, loaded
+                self._unit_bcs[u] = (
+                    make_bloom_broadcast(spark, [val]),
+                    val[0].nbytes,
+                )
+                self._gen_bytes += val[0].nbytes
+        return bloom_filter_udf([self._unit_bcs[u][0] for u in units]), loaded
+
     def _collisions_with_state(self, spark: SparkSession, bands: DataFrame):
         """ids of batch rows whose bands collide with committed state,
         reading as few state units as the Bloom sidecars allow. Returns a
         DataFrame[id] or None (no state / no possible collision); always
-        sets ``last_state_read``."""
+        sets ``last_state_read``.
+
+        Two prefilter modes, chosen by total sidecar bytes:
+
+        * ``broadcast`` (small state) — union-of-Blooms broadcast probe on
+          the executors shrinks the batch to candidates before anything is
+          collected. The broadcast is per-GENERATION (see
+          ``_generation_udf``), not per-batch.
+        * ``driver`` (state past ``prefilter_broadcast_max_bytes``) — no
+          broadcast at all: the batch's DISTINCT band hashes (bounded by
+          batch size, independent of state size) come to the driver and
+          probe the unit Blooms there. Compaction buckets none of the
+          batch's bands hash into are never loaded from disk — the
+          band-hash-prefix sharding lever, so per-batch broadcast bytes
+          are ZERO and sidecar reads track the batch's bucket fan-out,
+          not the keep-set.
+        """
         units = self._state_units()
+        self._bloom_cache.retain(units)
+        read = {
+            "units_total": len(units), "units_read": 0, "bytes_read": 0,
+            "candidates": 0, "prefilter_mode": None,
+            "prefilter_broadcast_bytes": 0, "sidecar_bytes_loaded": 0,
+        }
         if not units:
-            self.last_state_read = {
-                "units_total": 0, "units_read": 0, "bytes_read": 0, "candidates": 0,
-            }
+            self.last_state_read = read
             return None
-        blooms = {u: load_bloom(u) for u in units}
-        if any(v is None for v in blooms.values()):
+        sizes = {u: sidecar_bytes(u) for u in units}
+
+        def full_read():
             # legacy/sidecar-less state: no pruning possible — exact full read
             state = self._read_units(spark, units)
-            self.last_state_read = {
-                "units_total": len(units),
-                "units_read": len(units),
-                "bytes_read": sum(dir_parquet_bytes(u) for u in units),
-                "candidates": -1,
-            }
+            read.update(
+                units_read=len(units),
+                bytes_read=sum(dir_parquet_bytes(u) for u in units),
+                candidates=-1, prefilter_mode="full",
+            )
+            self.last_state_read = read
             return (
                 bands.join(state.select("band").distinct().hint("shuffle_hash"), "band")
                 .select("id")
                 .distinct()
             )
 
-        # 1. prefilter the BATCH side through the union of unit Blooms —
-        #    mostly-new data shrinks to real dups + ~0.07% false positives
-        bands_h = bands.select("id", "band", *band_hash_cols("band"))
-        might = any_bloom_filter_udf(spark, list(blooms.values()))
-        cand = bands_h.filter(might(F.col("__h1"), F.col("__h2"))).localCheckpoint()
+        if any(v is None for v in sizes.values()):
+            return full_read()
 
-        # 2. probe each unit's Bloom with the candidate hashes (driver-side
-        #    numpy over the now-small distinct candidate set) → units to read
-        pairs = cand.select("__h1", "__h2").distinct().collect()
+        bands_h = bands.select(
+            "id",
+            "band",
+            *band_hash_cols("band"),
+            F.pmod(
+                F.xxhash64("band", F.lit("dfs-bkt")), F.lit(self.n_buckets)
+            ).alias("__hb"),
+        )
+        if sum(sizes.values()) <= self.prefilter_broadcast_max_bytes:
+            # 1a. broadcast prefilter: mostly-new data shrinks to real dups
+            #     + ~0.07% false positives before the driver sees anything
+            might, loaded = self._generation_udf(spark, units)
+            if might is None:
+                return full_read()
+            probe_src = bands_h.filter(
+                might(F.col("__h1"), F.col("__h2"))
+            ).persist()
+            self._batch_persists.append(probe_src)
+            pairs = probe_src.select("__h1", "__h2", "__hb").distinct().collect()
+            read.update(
+                prefilter_mode="broadcast",
+                prefilter_broadcast_bytes=self._gen_bytes,
+                sidecar_bytes_loaded=loaded,
+            )
+        else:
+            # 1b. sharded driver probe: nothing broadcast; collect is
+            #     bounded by the BATCH's distinct bands
+            self._drop_generation()  # release executor copies of old filters
+            pairs = bands_h.select("__h1", "__h2", "__hb").distinct().collect()
+            probe_src = bands_h
+            read.update(prefilter_mode="driver")
+
+        # 2. probe each (bucket-relevant) unit's Bloom with the candidate
+        #    hashes → units to read
         hit_units: list[str] = []
         if pairs:
             u1 = np.array([p["__h1"] for p in pairs], dtype=np.int64).view(np.uint64)
             u2 = np.array([p["__h2"] for p in pairs], dtype=np.int64).view(np.uint64)
-            hit_units = [
-                u for u in units
-                if might_contain_vec(blooms[u][0], blooms[u][1], u1, u2).any()
-            ]
-        self.last_state_read = {
-            "units_total": len(units),
-            "units_read": len(hit_units),
-            "bytes_read": sum(dir_parquet_bytes(u) for u in hit_units),
-            "candidates": len(pairs),
-        }
+            batch_buckets = {p["__hb"] for p in pairs}
+            for u in units:
+                bkt = self._unit_bucket(u)
+                if bkt is not None and bkt not in batch_buckets:
+                    continue  # shard skip: no batch band hashes into it
+                val, got = self._bloom_cache.get(u)
+                read["sidecar_bytes_loaded"] += got
+                if val is None or might_contain_vec(val[0], val[1], u1, u2).any():
+                    hit_units.append(u)
+        read.update(
+            units_read=len(hit_units),
+            bytes_read=sum(dir_parquet_bytes(u) for u in hit_units),
+            candidates=len(pairs),
+        )
+        self.last_state_read = read
         if not hit_units:
             return None
 
@@ -276,17 +396,41 @@ class StreamingFirstWinsDedup:
         #    to the full-state join.
         state = self._read_units(spark, hit_units)
         return (
-            cand.join(state.select("band").distinct().hint("shuffle_hash"), "band")
+            probe_src.join(state.select("band").distinct().hint("shuffle_hash"), "band")
             .select("id")
             .distinct()
         )
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        """Per-batch cache, released at the end of ``process_batch`` —
+        unlike ``localCheckpoint`` (whose blocks linger until the JVM
+        garbage-collects the RDD), an explicit persist/unpersist pair
+        keeps a long-running stream's block manager flat."""
+        self._batch_persists.append(df.persist())
+        return df
+
+    def _release_batch(self) -> None:
+        for d in self._batch_persists:
+            try:
+                d.unpersist()
+            except Exception:  # noqa: BLE001 - stopped context on teardown
+                pass
+        self._batch_persists.clear()
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         if batch_id in self._committed():
             return  # replay of a committed batch — state+downstream done
         spark = df.sparkSession
-        df = df.localCheckpoint()
-        bands = self._band_table(df).localCheckpoint()
+        try:
+            self._process_batch_inner(spark, df, batch_id)
+        finally:
+            self._release_batch()
+
+    def _process_batch_inner(
+        self, spark: SparkSession, df: DataFrame, batch_id: int
+    ) -> None:
+        df = self._persist(df)
+        bands = self._persist(self._band_table(df))
 
         # rows colliding with ANY previously-kept row are dropped outright
         # (the kept side always wins — it is strictly earlier). anti-join on
@@ -307,15 +451,15 @@ class StreamingFirstWinsDedup:
         alive_bands = bands.join(
             df_alive.select(F.col(self.order_col).alias("id")), "id"
         ).select("id", "band")
-        survivors = first_wins_bucket_claim(
-            df_alive, self.order_col, alive_bands
-        ).localCheckpoint()
+        survivors = self._persist(
+            first_wins_bucket_claim(df_alive, self.order_col, alive_bands)
+        )
 
         # stage this batch's state under its OWN dir (overwrite => replay
         # converges to the same content), visible only after the commit
-        surv_bands = bands.join(
-            survivors.select(F.col(self.order_col).alias("id")), "id"
-        ).localCheckpoint()
+        surv_bands = self._persist(
+            bands.join(survivors.select(F.col(self.order_col).alias("id")), "id")
+        )
         surv_bands.write.mode("overwrite").parquet(self._batch_dir(batch_id))
         # Bloom sidecar before the commit append: a committed dir always
         # carries its filter (a crash mid-sidecar leaves the dir uncommitted

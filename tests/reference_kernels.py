@@ -147,14 +147,37 @@ def ccnet_dedup_keep(texts):
     return keep
 
 
+# filter/minhash_deduplicator.py:47-55 — the datasketch shingle unit:
+# CHAR n-grams, each hashed over its utf-8 encoding (s[i:i+n].encode()).
+# Sequential scalar-loop transcription, deliberately independent of the
+# engine's vectorized _char_ngram_hashes so a kernel bug can't self-verify.
+def char_shingle_hashes(t: str, n: int = 5):
+    import zlib
+
+    t = t or ""
+    b = t.encode("utf-8")
+    if len(t) < n:  # CHARACTER count — the reference windows characters
+        return (
+            np.array([zlib.crc32(b)], dtype=np.uint64)
+            if b
+            else np.array([], dtype=np.uint64)
+        )
+    vals = set()
+    for i in range(len(t) - n + 1):
+        h = 0
+        for byte in t[i : i + n].encode("utf-8"):
+            h = (h * 257 + byte) % (1 << 64)
+        vals.add(h)
+    return np.array(sorted(vals), dtype=np.uint64)
+
+
 # filter/minhash_deduplicator.py:47-86 — LSH first-wins: row kept iff no
 # band of its signature collides with a previously-kept row's band.
-# Raw-text shingles + datasketch-optimal banding for threshold=0.9, the
-# reference defaults (MinHashLSH(threshold=0.9, num_perm=128)).
+# Raw-text char shingles + datasketch-optimal banding for threshold=0.9,
+# the reference defaults (MinHashLSH(threshold=0.9, num_perm=128)).
 def minhash_dedup_keep(texts, num_perm=128, threshold=0.9, bands=None, ngram=5, seed=1):
     from dataflow_spark.operators.dedup import (
         _MERSENNE,
-        _rolling_byte_ngram_hashes,
         optimal_band_param,
     )
 
@@ -167,7 +190,7 @@ def minhash_dedup_keep(texts, num_perm=128, threshold=0.9, bands=None, ngram=5, 
     b = rng.randint(0, _MERSENNE, size=num_perm).astype(np.uint64)
 
     def sig(t: str) -> np.ndarray:
-        hv = _rolling_byte_ngram_hashes((t or "").encode("utf-8"), ngram)
+        hv = char_shingle_hashes(t, ngram)
         if hv.size == 0:
             return np.zeros(num_perm, dtype=np.int64)
         with np.errstate(over="ignore"):  # multiply-shift: mod-2^64 wrap

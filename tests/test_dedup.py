@@ -223,3 +223,54 @@ def test_assembly_hot_conversation(spark, tmp_path):
     m = oracle.merge(got, on=["conv_id", "session_start"], suffixes=("_o", "_s"))
     assert len(m) == len(got) and len(got) >= len(oracle) - 1
     assert (m.transcript_o == m.transcript_s).all()
+
+
+def test_char_shingle_kernel_matches_sequential_on_multibyte():
+    """The vectorized char-shingle hasher must equal the scalar-loop
+    datasketch transcription byte-for-byte on CJK/emoji/mixed text —
+    the r4 parity gap (byte windows vs the reference's char windows)."""
+    import numpy as np
+
+    cases = [
+        "",
+        "abc",  # < 5 chars
+        "hello world plain ascii text",
+        "你好",  # < 5 chars, all multibyte
+        "你好世界这是一个测试句子",
+        "mixed ascii 和中文 characters überall café",
+        "🎉🎊🎈🎆🎇 emoji party 🎉🎊",
+        "日本語のテキストとEnglishの混在",
+        "áéíóú combining accents",
+        "चार बाइट वाले अक्षर देवनागरी में",
+        "𝕸𝖆𝖙𝖍 𝖇𝖔𝖑𝖉 astral-plane chars 𝓍𝓎𝓏",
+    ]
+    for t in cases:
+        got = np.sort(D._char_ngram_hashes(t, 5))
+        exp = RK.char_shingle_hashes(t, 5)
+        assert got.tolist() == exp.tolist(), t
+
+
+def test_minhash_multibyte_corpus_matches_sequential(spark):
+    """End-to-end keep-set parity on a multibyte-dense corpus: the
+    distributed LSH dedup equals the sequential reference scan, and a
+    one-char CJK edit of a long CJK doc is recognized as a near-dup
+    (it was NOT under byte shingles straddling multibyte boundaries
+    differently... it was, but with the wrong shingle set)."""
+    base_cjk = "".join(f"字符{i}串内容测试" for i in range(40))
+    base_emoji = " ".join(f"doc🎉{i}🎊segment" for i in range(30))
+    rows = [
+        (0, base_cjk),
+        (1, base_cjk[:-2] + "改变"),       # near-dup of 0
+        (2, base_emoji),
+        (3, base_emoji + " 🎈tail"),        # near-dup of 2
+        (4, "まったく別の日本語テキスト" * 15),
+        (5, base_cjk),                      # exact dup of 0
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["rid", "text"])
+    df = spark.createDataFrame(pdf)
+    got = _kept_rids(D.dedup_minhash(df, "rid"))
+    expected = _expected(pdf, RK.minhash_dedup_keep(pdf["text"].tolist()))
+    assert got == expected
+    assert 1 not in got and 3 not in got and 5 not in got

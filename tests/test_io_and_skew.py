@@ -191,7 +191,15 @@ def test_read_db_keyset_matches_offset(spark, tmp_path):
             T.StructField("payload", T.StringType()),
         ]
     )
-    for where in ("", "pipeline_id = 'p2'"):
+    p2 = sum(1 for k in keys if k % 3 == 0)
+    # the OR case guards the pushed-predicate parenthesization: appended
+    # "AND id >= ?" must bind the WHOLE disjunction, not just the right arm
+    # (row-8 is pipeline p1, so OR adds exactly one row to the p2 set)
+    for where, want in (
+        ("", 1777),
+        ("pipeline_id = 'p2'", p2),
+        ("pipeline_id = 'p2' OR payload = 'row-8'", p2 + 1),
+    ):
         kw = dict(page_size=100, order_col="id", where_sql=where)
         offset_rows = sorted(
             tuple(r) for r in read_db_paginated(
@@ -204,7 +212,7 @@ def test_read_db_keyset_matches_offset(spark, tmp_path):
             ).collect()
         )
         assert keyset_rows == offset_rows
-        assert len(keyset_rows) == (1777 if not where else sum(1 for k in keys if k % 3 == 0))
+        assert len(keyset_rows) == want
 
     with pytest.raises(ValueError, match="order_col"):
         read_db_paginated(

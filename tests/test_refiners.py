@@ -54,6 +54,10 @@ def test_ccnet_normalize_canonical(spark):
         "１２３ yen ～ ok！": "000 yen ~ ok!",
         "tab\x07bell «x»": 'tabbell "x"',
         "（a；b）５０％": "(a;b)00%",
+        # Unicode Cf format chars (soft hyphen, ZWSP, RTL mark, BOM) are
+        # category-C and must die in the non-printing stage like cc_net's
+        # remove_non_printing_char
+        "a­b​c‏d﻿e ok": "abcde ok",
     }
     r = REFINERS["ccnet_normalize"]
     kern = r.kernel(pd.Series(list(cases))).tolist()

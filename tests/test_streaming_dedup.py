@@ -223,3 +223,52 @@ def test_compaction_retention_expires_old_state(spark, tmp_path):
     d.process_batch(spark.createDataFrame(dup), 1)
     # old keepers expired — the duplicates resurface as new keepers
     assert len(out) == n_kept * 2
+
+
+def test_sharded_prefilter_bounds_broadcast_bytes(spark, tmp_path):
+    """Past ``prefilter_broadcast_max_bytes`` the prefilter switches to the
+    sharded driver probe: per-batch broadcast filter bytes are ZERO no
+    matter how large the committed band state grows, compaction buckets
+    none of the batch's bands hash into are never loaded from disk, and
+    the keep-set is identical to the broadcast-mode instance's."""
+    kept = {"bc": [], "drv": []}
+    insts = {}
+    for mode, cap in (("bc", 1 << 30), ("drv", 0)):
+        d = StreamingFirstWinsDedup(
+            str(tmp_path / f"state_{mode}"), order_col="rid",
+            downstream=(lambda m: lambda s, b: kept[m].extend(
+                r.rid for r in s.select("rid").collect()))(mode),
+            compact_every=4, n_buckets=8, prefilter_broadcast_max_bytes=cap,
+        )
+        insts[mode] = d
+        for b in range(8):
+            batch = _unique_batch(b)
+            if b == 6:  # one true-duplicate batch: dedup must still fire
+                batch = _unique_batch(0)
+                batch["rid"] = batch["rid"] + 500_000
+            d.process_batch(spark.createDataFrame(batch), b)
+            if mode == "drv":
+                r = d.last_state_read
+                if b > 0:
+                    assert r["prefilter_mode"] == "driver"
+                assert r["prefilter_broadcast_bytes"] == 0
+        assert d._gen_bytes == 0 or mode == "bc"
+    assert sorted(kept["bc"]) == sorted(kept["drv"])
+    # duplicates actually dropped (batch 6 contributed nothing)
+    assert len(kept["drv"]) == 7 * 400
+
+    # bucket sharding: a single-row batch hashes into few of the 8
+    # compaction buckets — most bucket sidecars must not even be loaded
+    d = insts["drv"]
+    d._bloom_cache._entries.clear()
+    d._bloom_cache._bytes = 0
+    one = pd.DataFrame({"rid": [999_999], "text": [_unique_batch(0)["text"].iloc[0]]})
+    d.process_batch(spark.createDataFrame(one), 8)
+    import glob as _g
+    total_sidecar = sum(
+        os.path.getsize(p)
+        for u in d._state_units()
+        for p in _g.glob(os.path.join(u, "_bloom.npz"))
+    )
+    assert d.last_state_read["sidecar_bytes_loaded"] < total_sidecar
+    assert len(kept["drv"]) == 7 * 400  # the duplicate row was dropped
