@@ -778,6 +778,112 @@ def _q_score_token_count(spark, sf):
     )
 
 
+_BPE_K = 8  # merges for the oracle-gated BPE queries (unrolled CTE depth)
+
+
+def _q_score_token_count_bpe(spark, sf):
+    """ToKenInfo upgraded (token_info.py:24-42): REAL corpus-trained BPE
+    token counts — merge table learned from the documents table itself
+    (exact-integer pair counts, lexicographic tie-break), counting via
+    nested codegen'd string replaces. The oracle re-derives the ENTIRE
+    training loop in SQL (one unrolled pair-count CTE per merge), so the
+    merge table is recomputed, not shared."""
+    from dataflow_spark.operators.bpe import bpe_token_count, train_bpe
+
+    df = _t(spark, sf, "documents")
+    merges = train_bpe(df, "text", n_merges=_BPE_K)
+    return df.select(
+        "doc_id", bpe_token_count("text", merges).alias("n_tokens_bpe")
+    )
+
+
+def _q_answer_token_length_filter_bpe(spark, sf):
+    """AnswerTokenLengthFilter with the r5 trained tokenizer (the
+    reference counts with a real tokenizer — answer_token_length_filter.
+    py:11-46); cap chosen so the sf corpus splits into keep/drop."""
+    from dataflow_spark.operators.bpe import train_bpe
+    from dataflow_spark.operators.reasoning import answer_token_length_filter
+
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    merges = train_bpe(df, "text", n_merges=_BPE_K)
+    return answer_token_length_filter(
+        df, "text", max_answer_token_length=200, merges=merges
+    )
+
+
+def _bpe_train_ctes(k: int, table: str = "documents") -> str:
+    """CTE chain re-deriving the BPE training loop: w0 = word counts as
+    ␟-interspersed strings; per merge i, p_i = the (count DESC, pair ASC)
+    argmax adjacent pair and w_i = w_{i-1} with that pair merged via
+    plain replace (leftmost-first non-overlapping = the BPE greedy scan,
+    identical in Spark/DuckDB). coalesce guards make exhausted merge
+    slots no-ops ('␟␟' can never occur: symbols are never empty)."""
+    us, rs = "chr(31)", "chr(30)"
+    clean = f"replace(replace(coalesce(text, ''), {us}, ''), {rs}, '')"
+    parts = [
+        f"""w0 AS MATERIALIZED (
+  SELECT array_to_string(string_split(word, ''), {us}) AS w,
+         count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(list_filter(
+          regexp_split_to_array(trim({clean}), '\\s+'), x -> x <> '')) AS word
+        FROM {table})
+  GROUP BY 1)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT pair FROM (
+    SELECT unnest(list_transform(range(1, len(syms)),
+             j -> syms[j] || {us} || syms[j + 1])) AS pair, cnt
+    FROM (SELECT string_split(w, {us}) AS syms, cnt FROM w{i - 1})
+    WHERE len(syms) >= 2)
+  GROUP BY pair ORDER BY sum(cnt) DESC, pair ASC LIMIT 1)"""
+        )
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT replace(w, coalesce((SELECT pair FROM p{i}), {us} || {us}),
+                 coalesce(replace((SELECT pair FROM p{i}), {us}, ''), '')) AS w,
+         cnt
+  FROM w{i - 1})"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_count_oracle(k: int) -> str:
+    """Full oracle: training replay + per-doc ␟/␞ segmentation + the k
+    nested replaces + the separator-count token formula."""
+    us, rs = "chr(31)", "chr(30)"
+    clean = f"replace(replace(coalesce(text, ''), {us}, ''), {rs}, '')"
+    docseg = f"""docseg AS (
+  SELECT doc_id, array_to_string(list_transform(
+           list_filter(regexp_split_to_array(trim({clean}), '\\s+'),
+                       x -> x <> ''),
+           wd -> array_to_string(string_split(wd, ''), {us})), {rs}) AS seg
+  FROM documents)"""
+    rep = "seg"
+    for i in range(1, k + 1):
+        rep = (
+            f"replace({rep}, coalesce((SELECT pair FROM p{i}), {us} || {us}),"
+            f" coalesce(replace((SELECT pair FROM p{i}), {us}, ''), ''))"
+        )
+    return f"""WITH {_bpe_train_ctes(k)},
+{docseg},
+m AS (SELECT doc_id, {rep} AS s FROM docseg)
+SELECT doc_id,
+       CAST(CASE WHEN length(s) = 0 THEN 0
+            ELSE length(s) - length(replace(replace(s, {us}, ''), {rs}, '')) + 1
+            END AS INTEGER) AS n_tokens_bpe
+FROM m"""
+
+
+def _bpe_filter_oracle(k: int, cap: int) -> str:
+    base = _bpe_count_oracle(k)
+    return f"""WITH counted AS ({base})
+SELECT d.doc_id, d.text
+FROM documents d JOIN counted c ON c.doc_id = d.doc_id
+WHERE c.n_tokens_bpe <= {cap}"""
+
+
 def _q_score_quality(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select("doc_id", F.round(S.quality_score_native(F.col("text")), 9).alias("quality"))
@@ -3248,6 +3354,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_embedding_cosine": _q_dedup_embedding,
             "score_ngram": _q_score_ngram,
             "score_token_count": _q_score_token_count,
+            "score_token_count_bpe": _q_score_token_count_bpe,
+            "answer_token_length_filter_bpe": _q_answer_token_length_filter_bpe,
             "score_quality": _q_score_quality,
             "score_lang_id": _q_score_lang_id,
             "score_fingerprint": _q_score_fingerprint,
@@ -3384,6 +3492,8 @@ def build_oracles() -> dict[str, str]:
     )
     for name, sql in _SCORER_ORACLES.items():
         o[name] = sql
+    o["score_token_count_bpe"] = _bpe_count_oracle(_BPE_K)
+    o["answer_token_length_filter_bpe"] = _bpe_filter_oracle(_BPE_K, 200)
     o.update(_WINDOW_ORACLES)
     o.update(_TRANSCRIPT_ORACLES)
     o.update(_ANN_ORACLES)

@@ -2,10 +2,12 @@
 
 * ``answer_token_length_filter`` — AnswerTokenLengthFilter
   (reasoning/filter/answer_token_length_filter.py:11-46): the reference
-  counts tokens with a pretrained Qwen tokenizer; the deterministic
-  stand-in uses the engine's BPE estimate ``ceil(chars/4)`` — the same
-  estimator ToKenInfo's twin uses — so the filter shape (keep iff
-  token count <= max) is preserved with a pinned, oracle-able counter.
+  counts tokens with a pretrained Qwen tokenizer; since r5 the filter
+  takes a corpus-trained BPE merge table (``operators.bpe.train_bpe``)
+  and counts REAL tokens with it (exact-integer training, exact DuckDB
+  oracle), falling back to the pinned ``ceil(chars/4)`` estimate only
+  when no tokenizer has been trained. The filter shape (keep iff
+  token count <= max) is the reference's either way.
 * ``answer_judger_math`` — AnswerJudger_MathVerify
   (reasoning/filter/answer_judger_mathverify.py:9-82): the reference
   calls math_verify's symbolic parse/verify; here a pinned deterministic
@@ -32,10 +34,21 @@ def bpe_token_estimate(c: Column) -> Column:
 
 
 def answer_token_length_filter(
-    df: DataFrame, col: str, max_answer_token_length: int = 8192
+    df: DataFrame,
+    col: str,
+    max_answer_token_length: int = 8192,
+    merges: list[tuple[str, str]] | None = None,
 ) -> DataFrame:
-    """Keep rows whose answer's estimated token count is within the cap
-    (reference returns 1/0 per row then keeps the 1s)."""
+    """Keep rows whose answer's token count is within the cap (reference
+    returns 1/0 per row then keeps the 1s). With ``merges`` (a
+    corpus-trained table from ``operators.bpe.train_bpe``) the count is
+    the REAL BPE tokenization — the r5 default for trained pipelines;
+    without one it falls back to the pinned ``ceil(chars/4)`` estimator
+    (the only option when no tokenizer has been trained yet)."""
+    if merges is not None:
+        from dataflow_spark.operators.bpe import bpe_token_count
+
+        return df.filter(bpe_token_count(F.col(col), merges) <= max_answer_token_length)
     return df.filter(bpe_token_estimate(F.col(col)) <= max_answer_token_length)
 
 

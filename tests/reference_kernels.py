@@ -252,3 +252,69 @@ def assemble_sessions(pdf: pd.DataFrame, gap_seconds: int = 600) -> pd.DataFrame
     return pd.DataFrame(
         rows, columns=["conv_id", "session_start", "session_end", "n_turns", "transcript"]
     )
+
+
+# eval/statistics/token_info.py + reasoning/filter/answer_token_length_filter.py
+# — the reference counts tokens with a trained (HuggingFace) tokenizer; the
+# engine trains its own BPE on the corpus. This is the sequential scalar
+# transcription of that trainer/encoder (plain dict loops, deliberately
+# independent of the engine's string-replace formulation).
+def bpe_train(texts, n_merges=12):
+    import collections
+    import re
+
+    wc = collections.Counter()
+    for t in texts:
+        t = (t or "").replace("\x1f", "").replace("\x1e", "")
+        for w in re.split(r"(?a)\s+", t.strip()):
+            if w:
+                wc[tuple(w)] += 1
+    words = dict(wc)
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for syms, c in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        # max count, ties -> lexicographically smallest separated pair
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0] + "\x1f" + kv[0][1]))[0]
+        merges.append(best)
+        a, b = best
+        new_words = {}
+        for syms, c in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + c
+        words = new_words
+    return merges
+
+
+def bpe_count(text, merges):
+    import re
+
+    t = (text or "").replace("\x1f", "").replace("\x1e", "")
+    total = 0
+    for w in re.split(r"(?a)\s+", t.strip()):
+        if not w:
+            continue
+        syms = list(w)
+        for a, b in merges:  # merge order = priority order
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total

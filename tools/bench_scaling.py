@@ -34,7 +34,13 @@ def build_zip() -> str:
     return zpath
 
 
-def run_at(cores: int, turns: int, zpath: str, modes: str = "batch,stream,assembly") -> dict:
+def run_at(
+    cores: int,
+    turns: int,
+    zpath: str,
+    modes: str = "batch,stream,assembly",
+    dedup_fpt: int = 16,
+) -> dict:
     env = dict(os.environ)
     env["DFS_UNDER_SPARK_SUBMIT"] = "1"
     spark_submit = os.path.join(os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
@@ -70,6 +76,7 @@ def run_at(cores: int, turns: int, zpath: str, modes: str = "batch,stream,assemb
         os.path.join(REPO, "tools", "scaling_job.py"),
         "--turns", str(turns),
         "--modes", modes,
+        "--dedup-fpt", str(dedup_fpt),
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=3000)
     for line in reversed(out.stdout.strip().splitlines()):
@@ -120,13 +127,14 @@ def main() -> None:
     ap.add_argument("--turns", type=int, default=600_000)
     ap.add_argument("--cores", type=int, nargs=2, default=[8, 32])
     ap.add_argument("--modes", default="batch,stream,assembly")
+    ap.add_argument("--dedup-fpt", type=int, default=16)
     args = ap.parse_args()
 
     zpath = build_zip()
     lo, hi = args.cores
     ceiling = cpu_ceiling(lo, hi)
-    r_lo = run_at(lo, args.turns, zpath, args.modes)
-    r_hi = run_at(hi, args.turns, zpath, args.modes)
+    r_lo = run_at(lo, args.turns, zpath, args.modes, args.dedup_fpt)
+    r_hi = run_at(hi, args.turns, zpath, args.modes, args.dedup_fpt)
 
     def eff(metric: str) -> float:
         speedup = r_hi[metric] / r_lo[metric]

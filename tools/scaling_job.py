@@ -36,6 +36,13 @@ def main() -> None:
         default="batch,stream,assembly",
         help="comma-set of legs to run (assembly-only probes skip the rest)",
     )
+    ap.add_argument(
+        "--dedup-fpt",
+        type=int,
+        default=16,
+        help="maxFilesPerTrigger for the dedup leg: micro-batch count = "
+        "files / dedup-fpt (the per-batch-tail amortization knob)",
+    )
     args = ap.parse_args()
     modes = set(args.modes.split(","))
 
@@ -202,7 +209,7 @@ def main() -> None:
 
         t0 = time.time()
         dq = (
-            file_stream(spark, data_dir, max_files_per_trigger=16)
+            file_stream(spark, data_dir, max_files_per_trigger=args.dedup_fpt)
             .writeStream.foreachBatch(_dedup_batch)
             .option("checkpointLocation", ck4)
             .trigger(availableNow=True)
@@ -213,6 +220,7 @@ def main() -> None:
         result["dedup_s"] = round(dedup_s, 2)
         result["dedup_turns_per_sec"] = round(args.turns / dedup_s, 1)
         result["dedup_rows_kept"] = int(sum(kept))
+        result["dedup_n_batches"] = len(kept)
         shutil.rmtree(ddir, ignore_errors=True)
         shutil.rmtree(ck4, ignore_errors=True)
 
