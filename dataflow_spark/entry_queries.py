@@ -1211,9 +1211,12 @@ def _q_ann_lsh(spark, sf):
 
 
 def _q_ann_ivf(spark, sf):
+    # train_fraction=0.5: k-means trains on a deterministic md5-hash
+    # half-sample (the 100-TB lever); assignment + probing stay exact
+    # over the full corpus, and the oracle replays the same sample
     emb = _t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return SIM.ann_topk_ivf(emb, queries, k=5)
+    return SIM.ann_topk_ivf(emb, queries, k=5, train_fraction=0.5)
 
 
 # ------------------------------------------------------- bigram LM / ppl
@@ -1583,6 +1586,7 @@ def _ivf_oracle(
     n_probe: int = 2,
     scale: int = 10_000,
     dim: int = 64,
+    train_fraction: float | None = None,
 ) -> str:
     """Exact replay of ann_topk_ivf (operators/similarity.py): the
     micro-unit quantization makes every Lloyd-iteration intermediate an
@@ -1595,26 +1599,37 @@ def _ivf_oracle(
         f" i -> {a}[i]*{b}[i])) AS DOUBLE)"
     )
     score = lambda v, s: f"{idot(v, s)} / sqrt({idot(s, s)})"  # noqa: E731
+    # deterministic md5-hash Bernoulli train sample (same device and seed
+    # as operators/sampling.py with seed "ivf") — the training CTEs read
+    # tr; assignment/probing read the full ci
+    tr_pred = (
+        f"(('0x' || substr(md5('ivf' || chr(31) ||"
+        f" coalesce(CAST(id AS VARCHAR), '')), 1, 8))::BIGINT"
+        f" / 4294967296.0) < {train_fraction}"
+        if train_fraction is not None
+        else "TRUE"
+    )
     parts = [f"""
         ci AS (SELECT vec_id AS id,
                       list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
                FROM embeddings),
+        tr AS (SELECT * FROM ci WHERE {tr_pred}),
         cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, iv AS sv
-                   FROM (SELECT id, iv FROM ci ORDER BY id LIMIT {n_centroids}))"""]
+                   FROM (SELECT id, iv FROM tr ORDER BY id LIMIT {n_centroids}))"""]
     for t in range(1, iters + 1):
         parts.append(f"""
         a{t} AS (SELECT id, cid FROM (
             SELECT c.id, ct.cid,
                    row_number() OVER (PARTITION BY c.id
                        ORDER BY {score('c.iv', 'ct.sv')} DESC, ct.cid ASC) AS rn
-            FROM ci c CROSS JOIN cents{t - 1} ct) WHERE rn = 1),
+            FROM tr c CROSS JOIN cents{t - 1} ct) WHERE rn = 1),
         cents{t} AS (
             SELECT base.cid, coalesce(n.sv, base.sv) AS sv
             FROM cents{t - 1} base LEFT JOIN (
               SELECT cid, list(s ORDER BY pos) AS sv FROM (
-                SELECT a{t}.cid, p.pos, CAST(sum(ci.iv[p.pos]) AS BIGINT) AS s
-                FROM a{t} JOIN ci USING (id),
+                SELECT a{t}.cid, p.pos, CAST(sum(tr.iv[p.pos]) AS BIGINT) AS s
+                FROM a{t} JOIN tr USING (id),
                      (SELECT unnest(range(1, {dim + 1})) AS pos) p
                 GROUP BY a{t}.cid, p.pos)
               GROUP BY cid) n ON n.cid = base.cid)""")
@@ -1651,7 +1666,7 @@ def _ivf_oracle(
 
 
 _ANN_ORACLES = {
-    "ann_topk_ivf": _ivf_oracle(),
+    "ann_topk_ivf": _ivf_oracle(train_fraction=0.5),
     "ann_topk_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

@@ -189,6 +189,8 @@ def ivf_train(
     vec_col: str = "iv",
     n_centroids: int = 8,
     iters: int = 2,
+    train_fraction: float | None = None,
+    sample_seed: str = "ivf",
 ) -> list[list[int]]:
     """Deterministic Lloyd's k-means over quantized integer vectors.
 
@@ -199,15 +201,25 @@ def ivf_train(
     hence replay- and engine-independent; the mean's scale factor cancels
     in the cosine score so sums never need dividing). A centroid that
     loses all members keeps its previous sum. Only n_centroids × dim longs
-    ever reach the driver. At 100 TB, train on a sample — the assignment
-    semantics don't change."""
-    init = int_corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    ever reach the driver.
+
+    ``train_fraction`` is the 100-TB lever: a deterministic md5-hash
+    Bernoulli sample (operators/sampling.py — retry/layout-stable,
+    SQL-replayable) of the corpus feeds BOTH the init and every Lloyd
+    iteration, so training cost scales with the sample while assignment
+    semantics over the full corpus are unchanged."""
+    train = int_corpus.select(id_col, vec_col)
+    if train_fraction is not None:
+        from dataflow_spark.operators.sampling import sample_hash_fraction
+
+        train = sample_hash_fraction(train, [id_col], train_fraction, seed=sample_seed)
+    init = train.orderBy(id_col).limit(n_centroids).collect()
     cents = [list(r[vec_col]) for r in init]
     dim = len(cents[0])
     for _ in range(iters):
-        assigned = _assign_cells(int_corpus, id_col, vec_col, cents)
+        assigned = _assign_cells(train, id_col, vec_col, cents)
         sums = (
-            int_corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            train.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
             .join(assigned, "id")
             .select("cid", F.posexplode("v").alias("pos", "val"))
             .groupBy("cid", "pos")
@@ -235,6 +247,7 @@ def ann_topk_ivf(
     n_probe: int = 2,
     scale: int = 10_000,
     round_to: int | None = 6,
+    train_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate cosine top-k. Output schema matches
     ann_topk_bruteforce; recall < 1.0 by construction (a true neighbor in
@@ -248,7 +261,10 @@ def ann_topk_ivf(
     ci = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(vec_col, scale).alias("v")
     ).localCheckpoint()
-    cents = ivf_train(ci, "id", "v", n_centroids=n_centroids, iters=iters)
+    cents = ivf_train(
+        ci, "id", "v", n_centroids=n_centroids, iters=iters,
+        train_fraction=train_fraction,
+    )
 
     tagged = ci.join(_assign_cells(ci, "id", "v", cents), "id").select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"

@@ -104,3 +104,35 @@ def test_multimodal_unknown_modality_raises(spark):
     df = spark.createDataFrame(pdf)
     with pytest.raises(Exception, match="hologram|PythonException"):
         extract_features(df).collect()
+
+
+def test_ivf_train_fraction(spark):
+    """train_fraction: k-means trains on the deterministic md5 half-sample
+    (init + every Lloyd iteration see only sampled rows), assignment stays
+    corpus-wide — results remain deterministic and recall stays useful."""
+    from dataflow_spark.operators.sampling import sample_hash_fraction
+    from dataflow_spark.operators.similarity import ivf_train, quantize_vec
+
+    df, mat = _toy_embeddings(spark, n=200)
+    q = df.filter(F.col("vec_id") < 10)
+    a1 = ann_topk_ivf(df, q, k=5, n_centroids=8, n_probe=3, train_fraction=0.5).toPandas()
+    a2 = ann_topk_ivf(df, q, k=5, n_centroids=8, n_probe=3, train_fraction=0.5).toPandas()
+    key = ["query_id", "neighbor_id", "cos_sim", "rank"]
+    assert sorted(map(tuple, a1[key].values.tolist())) == sorted(
+        map(tuple, a2[key].values.tolist())
+    )
+    exact = ann_topk_bruteforce(df, q, k=5).toPandas()
+    e = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    a = set(map(tuple, a1[["query_id", "neighbor_id"]].values))
+    assert len(e & a) / len(e) >= 0.5, "sampled-train IVF recall too low"
+
+    # the sample genuinely drives training: centroids from the half-sample
+    # equal centroids trained on the explicitly-sampled corpus, and the
+    # sample is a strict subset
+    ci = df.select(F.col("vec_id").alias("id"), quantize_vec("embedding").alias("v"))
+    sampled = sample_hash_fraction(ci, ["id"], 0.5, seed="ivf")
+    n_s, n_f = sampled.count(), ci.count()
+    assert 0 < n_s < n_f
+    c_frac = ivf_train(ci, "id", "v", n_centroids=8, train_fraction=0.5)
+    c_explicit = ivf_train(sampled, "id", "v", n_centroids=8)
+    assert c_frac == c_explicit
