@@ -1226,6 +1226,14 @@ def _q_score_bigram_perplexity(spark, sf):
     return LM.bigram_perplexity(df, "doc_id")
 
 
+def _q_score_trigram_kn(spark, sf):
+    """Interpolated Kneser-Ney trigram perplexity (the KenLM-semantics
+    upgrade of the bigram model) — corpus-trained, exact-integer counts,
+    ordered fold; oracle replays the whole KN table derivation."""
+    df = _t(spark, sf, "documents").select("doc_id", "text")
+    return LM.trigram_kn_perplexity(df, "doc_id")
+
+
 def _q_perplexity_lm_filter(spark, sf):
     df = _t(spark, sf, "documents").select("doc_id", "text")
     return LM.perplexity_filter(
@@ -1565,7 +1573,62 @@ _LM_ORACLE_CTES = """
            FROM terms GROUP BY id)
 """
 
+# interpolated-KN trigram scoring expression shared by the oracle below;
+# op order pinned to operators/lm.py trigram_kn_perplexity: greatest(c−D,0)
+# + (D·n)·p_lower, then ONE divide — bit-identical IEEE sequences
+_KN_P1 = (
+    "(CAST(coalesce(cont1.cont1, 0) + 1 AS DOUBLE)"
+    " / CAST(tot.total2 + vv.u + 1 AS DOUBLE))"
+)
+_KN_P2 = (
+    "(CASE WHEN coalesce(mid.midctx, 0) > 0 THEN"
+    " (greatest(CAST(coalesce(cont2.cont2, 0) AS DOUBLE) - 0.75, 0.0)"
+    f" + (0.75 * CAST(mid.midt AS DOUBLE)) * {_KN_P1})"
+    " / CAST(mid.midctx AS DOUBLE)"
+    f" ELSE {_KN_P1} END)"
+)
+_KN_P3 = (
+    "(CASE WHEN coalesce(ctx3.ctx3, 0) > 0 THEN"
+    " (greatest(CAST(coalesce(t3.c3, 0) AS DOUBLE) - 0.75, 0.0)"
+    f" + (0.75 * CAST(ctx3.nt3 AS DOUBLE)) * {_KN_P2})"
+    " / CAST(ctx3.ctx3 AS DOUBLE)"
+    f" ELSE {_KN_P2} END)"
+)
+
+_KN_ORACLE_CTES = f"""
+    toks AS (SELECT doc_id AS id,
+                    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                t -> t <> '') AS tk
+             FROM documents),
+    tri AS (SELECT t.id, u.i AS pos,
+                   CASE WHEN u.i <= 2 THEN '<s>' ELSE t.tk[u.i - 2] END AS w1,
+                   CASE WHEN u.i = 1 THEN '<s>' ELSE t.tk[u.i - 1] END AS w2,
+                   t.tk[u.i] AS w3
+            FROM toks t, unnest(range(1, CAST(len(t.tk) AS BIGINT) + 1)) AS u(i)),
+    t3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+    ctx3 AS (SELECT w1, w2, sum(c3) AS ctx3, count(*) AS nt3 FROM t3 GROUP BY w1, w2),
+    cont2 AS (SELECT w2, w3, count(*) AS cont2 FROM t3 GROUP BY w2, w3),
+    mid AS (SELECT w2, sum(cont2) AS midctx, count(*) AS midt FROM cont2 GROUP BY w2),
+    cont1 AS (SELECT w3, count(*) AS cont1 FROM cont2 GROUP BY w3),
+    tot AS (SELECT count(*) AS total2 FROM cont2),
+    vv AS (SELECT count(DISTINCT w3) AS u FROM tri),
+    kterms AS (SELECT tri.id, tri.pos, ln({_KN_P3}) AS lp
+               FROM tri
+               LEFT JOIN t3 USING (w1, w2, w3)
+               LEFT JOIN ctx3 USING (w1, w2)
+               LEFT JOIN cont2 USING (w2, w3)
+               LEFT JOIN mid USING (w2)
+               LEFT JOIN cont1 USING (w3), tot, vv),
+    kpd AS (SELECT id, list_sum(list(lp ORDER BY pos)) AS lps, count(*) AS n
+            FROM kterms GROUP BY id)
+"""
+
 _LM_ORACLES = {
+    "score_trigram_kn": f"""
+        WITH {_KN_ORACLE_CTES}
+        SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+               round(exp(-kpd.lps / kpd.n), 6) AS ppl
+        FROM toks t LEFT JOIN kpd ON kpd.id = t.id""",
     "score_bigram_perplexity": f"""
         WITH {_LM_ORACLE_CTES}
         SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
@@ -3385,6 +3448,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_lsh": _q_ann_lsh,
             "ann_topk_ivf": _q_ann_ivf,
             "score_bigram_perplexity": _q_score_bigram_perplexity,
+            "score_trigram_kn": _q_score_trigram_kn,
             "perplexity_lm_filter": _q_perplexity_lm_filter,
             "superfiltering_ifd": _q_superfiltering_ifd,
             "answer_token_length_filter": _q_answer_token_length_filter,

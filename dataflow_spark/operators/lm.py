@@ -1,4 +1,9 @@
-"""Corpus-trained bigram language model — perplexity scoring and filtering.
+"""Corpus-trained n-gram language models — perplexity scoring/filtering.
+
+Two models: the add-k bigram baseline (below) and, since r5, interpolated
+Kneser-Ney trigrams (``trigram_kn_perplexity``) — the KenLM-semantics
+upgrade (KenLM builds interpolated-KN tables), same exact-integer /
+ordered-fold discipline, full DuckDB oracle.
 
 The reference's PerplexityScorer / PerplexityFilter
 (general_text/eval/models/perplexity_scorer.py, Kenlm/model.py:23-120,
@@ -195,6 +200,140 @@ def superfiltering_ifd(
     )
     if round_to is not None:
         out = out.withColumn("ifd", F.round("ifd", round_to))
+    return out
+
+
+def _trigrams(tk):
+    """array<struct<w1,w2,w3>> over [BOS,BOS] + tokens — nested zip_with
+    so the padded array binds once (no per-element lambda re-eval)."""
+    padded = F.concat(F.array(F.lit(BOS), F.lit(BOS)), tk)
+    n = F.size(padded)
+    pair = F.zip_with(
+        F.slice(padded, 1, n - 2),
+        F.slice(padded, 2, n - 2),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return F.zip_with(
+        pair,
+        F.slice(padded, 3, n - 2),
+        lambda p, c: F.struct(
+            p["w1"].alias("w1"), p["w2"].alias("w2"), c.alias("w3")
+        ),
+    )
+
+
+def trigram_kn_tables(df: DataFrame, text_col: str = "text"):
+    """All interpolated-Kneser-Ney count tables, derived from ONE trigram
+    count table (exact integers; Chen & Goodman formulation):
+
+    * ``ctx3(w1,w2)``: c(w1w2·) + N1+(w1w2·) — top-level normalizer and
+      backoff-weight type count;
+    * ``cont2(w2,w3)``: N1+(·w2w3) — middle-level continuation counts
+      (distinct predecessors, the KN substitute for raw counts);
+    * ``mid(w2)``: N1+(·w2·) (normalizer) and N1+(w2·) (type count);
+    * ``cont1(w3)``: N1+(·w3) — unigram continuation counts;
+    * ``total2`` = N1+(··) (distinct bigram types), ``u`` = vocabulary.
+
+    Shape: one explode + five groupBys over the trigram TYPE table (much
+    smaller than the corpus), all map-side combinable."""
+    tri = df.select(
+        F.explode(_trigrams(tokens_expr(F.col(text_col)))).alias("t")
+    ).select("t.w1", "t.w2", "t.w3")
+    t3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    ctx3 = t3.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("ctx3"), F.count(F.lit(1)).alias("nt3")
+    )
+    cont2 = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont2"))
+    mid = cont2.groupBy("w2").agg(
+        F.sum("cont2").alias("midctx"), F.count(F.lit(1)).alias("midt")
+    )
+    cont1 = cont2.groupBy("w3").agg(F.count(F.lit(1)).alias("cont1"))
+    total2 = cont2.count()
+    u = tri.select("w3").distinct().count()
+    return t3, ctx3, cont2, mid, cont1, total2, u
+
+
+def trigram_kn_perplexity(
+    df: DataFrame,
+    id_col: str,
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(id, n_tokens, ppl) under interpolated Kneser-Ney trigrams trained
+    on ``df`` itself — the KenLM-semantics upgrade of the bigram add-k
+    model (KenLM builds interpolated [modified-]KN n-gram tables; the
+    fixed discount D=0.75 is the classic single-discount variant, chosen
+    because 0.75 is exactly representable so every arithmetic step stays
+    IEEE-pinned):
+
+        p3(w|u,v) = (max(c(uvw)−D, 0) + D·N1+(uv·)·p2(w|v)) / c(uv·)
+        p2(w|v)   = (max(N1+(·vw)−D, 0) + D·N1+(v·)·p1(w)) / N1+(·v·)
+        p1(w)     = (N1+(·w) + 1) / (N1+(··) + V + 1)
+
+    with full backoff (p3→p2 when the context is unseen, p2→p1 likewise)
+    and an add-1 guard at the unigram continuation level so unseen target
+    tokens keep positive mass. Every count is an exact integer; the op
+    order is pinned (greatest(c−D,0) + (D·n)·p, then one divide), so the
+    DuckDB oracle replays bit-identical doubles; per-doc log terms fold
+    in token order exactly like the bigram model."""
+    t3, ctx3, cont2, mid, cont1, total2, u = trigram_kn_tables(df, text_col)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
+    )
+    d = float(discount)
+    terms = (
+        toks.select("id", F.size("tk").alias("n_tk"), F.posexplode(_trigrams(F.col("tk"))).alias("pos", "tg"))
+        .select("id", "n_tk", "pos", "tg.w1", "tg.w2", "tg.w3")
+        .join(t3, ["w1", "w2", "w3"], "left")
+        .join(ctx3, ["w1", "w2"], "left")
+        .join(cont2, ["w2", "w3"], "left")
+        .join(mid, ["w2"], "left")
+        .join(cont1, ["w3"], "left")
+    )
+    p1 = (F.coalesce(F.col("cont1"), F.lit(0)) + F.lit(1)).cast("double") / F.lit(
+        float(total2 + u + 1)
+    )
+    p2 = F.when(
+        F.coalesce(F.col("midctx"), F.lit(0)) > 0,
+        (
+            F.greatest(
+                F.coalesce(F.col("cont2"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            + (F.lit(d) * F.col("midt").cast("double")) * p1
+        )
+        / F.col("midctx").cast("double"),
+    ).otherwise(p1)
+    p3 = F.when(
+        F.coalesce(F.col("ctx3"), F.lit(0)) > 0,
+        (
+            F.greatest(
+                F.coalesce(F.col("c3"), F.lit(0)).cast("double") - F.lit(d),
+                F.lit(0.0),
+            )
+            + (F.lit(d) * F.col("nt3").cast("double")) * p2
+        )
+        / F.col("ctx3").cast("double"),
+    ).otherwise(p2)
+    scored = terms.select("id", "pos", F.log(p3).alias("lp"))
+    per_doc = scored.groupBy("id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))), lambda s: s["lp"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("lp_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    out = toks.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.size("tk").alias("n_tokens"),
+        F.exp(-F.col("lp_sum") / F.col("n")).alias("ppl"),
+    )
+    if round_to is not None:
+        out = out.withColumn("ppl", F.round("ppl", round_to))
     return out
 
 

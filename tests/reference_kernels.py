@@ -318,3 +318,64 @@ def bpe_count(text, merges):
             syms = out
         total += len(syms)
     return total
+
+
+# KenLM-semantics upgrade (Kenlm/model.py loads interpolated-KN n-gram
+# tables): sequential interpolated Kneser-Ney trigram perplexity with
+# fixed discount D, trained on the scored corpus itself. Dict-loop
+# transcription, independent of the engine's join/fold formulation.
+def trigram_kn_ppl(texts, discount=0.75):
+    import collections
+    import math
+    import re
+
+    docs = [
+        [w for w in re.split(r"(?a)\s+", (t or "").lower()) if w] for t in texts
+    ]
+    t3 = collections.Counter()
+    for tk in docs:
+        padded = ["<s>", "<s>"] + tk
+        for i in range(len(tk)):
+            t3[(padded[i], padded[i + 1], padded[i + 2])] += 1
+    ctx3, nt3, cont2 = collections.Counter(), collections.Counter(), collections.Counter()
+    for (w1, w2, w3), c in t3.items():
+        ctx3[(w1, w2)] += c
+        nt3[(w1, w2)] += 1
+        cont2[(w2, w3)] += 1
+    mid_ctx, mid_t, cont1 = collections.Counter(), collections.Counter(), collections.Counter()
+    for (w2, w3), c in cont2.items():
+        mid_ctx[w2] += c
+        mid_t[w2] += 1
+        cont1[w3] += 1
+    total2 = len(cont2)
+    vocab = len({w for tk in docs for w in tk})
+    dd = discount
+    out = []
+    for tk in docs:
+        if not tk:
+            out.append(None)
+            continue
+        padded = ["<s>", "<s>"] + tk
+        s = 0.0
+        for i in range(len(tk)):
+            w1, w2, w3 = padded[i], padded[i + 1], padded[i + 2]
+            p1 = float(cont1.get(w3, 0) + 1) / float(total2 + vocab + 1)
+            mc = mid_ctx.get(w2, 0)
+            if mc > 0:
+                p2 = (
+                    max(float(cont2.get((w2, w3), 0)) - dd, 0.0)
+                    + (dd * float(mid_t[w2])) * p1
+                ) / float(mc)
+            else:
+                p2 = p1
+            cx = ctx3.get((w1, w2), 0)
+            if cx > 0:
+                p3 = (
+                    max(float(t3.get((w1, w2, w3), 0)) - dd, 0.0)
+                    + (dd * float(nt3[(w1, w2)])) * p2
+                ) / float(cx)
+            else:
+                p3 = p2
+            s += math.log(p3)
+        out.append(math.exp(-s / len(tk)))
+    return out

@@ -158,3 +158,76 @@ def test_no_python_in_ppl_plan(spark):
     plan = bigram_perplexity(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_trigram_kn_matches_sequential_reference(spark):
+    """Interpolated-KN trigram perplexity equals the sequential dict-loop
+    kernel on curated + randomized corpora (exact-integer KN tables,
+    pinned op order, token-order fold)."""
+    import random
+
+    from dataflow_spark.operators.lm import trigram_kn_perplexity
+    from tests.reference_kernels import trigram_kn_ppl
+
+    rnd = random.Random(777)
+    alphabet = [
+        "alpha", "beta", "gamma", "delta", "x1", "y2z", "the", "of",
+        "word", "chain", "!!", "q",
+    ]
+    corpora = [TEXTS]
+    for _ in range(2):
+        texts = []
+        for _ in range(40):
+            n = rnd.randint(0, 12)
+            texts.append(" ".join(rnd.choice(alphabet) for _ in range(n)))
+        corpora.append(texts)
+    for texts in corpora:
+        df = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        )
+        got = {
+            r["doc_id"]: r["ppl"]
+            for r in trigram_kn_perplexity(df, "doc_id").collect()
+        }
+        exp = trigram_kn_ppl(texts)
+        for i, ppl in enumerate(exp):
+            if ppl is None:
+                assert got[i] is None, i
+            else:
+                assert got[i] == pytest.approx(ppl, abs=2e-6), (i, texts[i])
+        # vacuity guard: perplexities vary across docs and exceed 1
+        vals = [v for v in got.values() if v is not None]
+        assert len(set(vals)) > 3 and max(vals) > 1.0
+
+
+def test_trigram_kn_orders_real_text_below_shuffled(spark):
+    """The trained trigram model must find natural repeated phrases easier
+    (lower ppl) than a token-shuffled rearrangement of the same corpus —
+    i.e. it actually models order, unlike a unigram stat."""
+    base = ["the quick brown fox jumps over the lazy dog again and again"] * 6
+    shuffled = ["dog the jumps again fox brown over quick lazy and the again"] * 2
+    texts = base + shuffled
+
+    from dataflow_spark.operators.lm import trigram_kn_perplexity
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {r["doc_id"]: r["ppl"] for r in trigram_kn_perplexity(df, "doc_id").collect()}
+    assert got[0] < got[len(base)]
+
+
+def test_no_python_in_trigram_kn_plan(spark):
+    from dataflow_spark.operators.lm import trigram_kn_perplexity
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(4), "text": TEXTS[:4]})
+    )
+    plan = (
+        trigram_kn_perplexity(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert marker not in plan
