@@ -164,6 +164,8 @@ def main() -> None:
         "pricing_summary",
         "score_ngram",
         "score_bigram_perplexity",
+        "score_trigram_kn",
+        "score_token_count_bpe",
     ]
     timings: dict[str, float] = {}
 
@@ -248,6 +250,17 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # FROZEN r2-era comparable subset — the suite grows every round, so
+    # `value` alone reads as a regression when queries are added;
+    # `value_comparable` sums only these 11 (the exact BENCH_r02 set) for
+    # apples-to-apples cross-round reads. Do not add to this list.
+    comparable = [
+        "pt_pipeline_transcripts", "stream_pipeline_transcripts",
+        "dedup_minhash_lsh", "dedup_exact_md5", "window_tumbling",
+        "window_session", "assembly_conversations", "join_user_assistant",
+        "ann_topk_bruteforce", "pricing_summary", "score_ngram",
+    ]
+    value_comparable = round(sum(timings[k] for k in comparable if k in timings), 3)
     cal["steal_jiffies_after"] = _steal_jiffies()
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     print(
@@ -255,6 +268,8 @@ def main() -> None:
             {
                 "metric": "headline query wall-clock (PT transcripts pipeline + operator suite)",
                 "value": total,
+                "value_comparable": value_comparable,
+                "comparable_queries": comparable,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
