@@ -151,6 +151,7 @@ class StreamingFirstWinsDedup:
         self._unit_bcs: dict = {}  # unit dir -> (Broadcast, nbytes)
         self._gen_bytes = 0  # live broadcast bytes across all unit filters
         self._batch_persists: list = []  # per-batch persisted DFs to release
+        self._committed_cache: set[int] | None = None
         # per-batch read telemetry: {"units_total", "units_read",
         # "bytes_read", "candidates"} — the scale test asserts bytes_read
         # stays ~flat as committed state grows
@@ -168,10 +169,18 @@ class StreamingFirstWinsDedup:
         return os.path.join(self.state_dir, "_compaction.json")
 
     def _committed(self) -> set[int]:
-        if not os.path.exists(self._commits):
-            return set()
-        with open(self._commits) as f:
-            return {json.loads(x)["batch_id"] for x in f if x.strip()}
+        # read the log once per process; afterwards the in-memory set is
+        # maintained by the (single-writer) commit append — a per-batch
+        # full-file re-read is O(stream-lifetime²) in total
+        if self._committed_cache is None:
+            if not os.path.exists(self._commits):
+                self._committed_cache = set()
+            else:
+                with open(self._commits) as f:
+                    self._committed_cache = {
+                        json.loads(x)["batch_id"] for x in f if x.strip()
+                    }
+        return self._committed_cache
 
     def _compaction(self) -> dict:
         if not os.path.exists(self._manifest):
@@ -477,6 +486,7 @@ class StreamingFirstWinsDedup:
             self.downstream(survivors, batch_id)
         with open(self._commits, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n_surv}) + "\n")
+        self._committed().add(batch_id)
 
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.compact(spark)

@@ -33,6 +33,9 @@ HEADLINE = [
     "cap_per_source",
     "answer_judger_math",
     "sketch_profile_kmv",
+    "score_trigram_kn",
+    "score_token_count_bpe",
+    "answer_token_length_filter_bpe",
 ]
 
 
