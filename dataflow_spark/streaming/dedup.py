@@ -152,6 +152,7 @@ class StreamingFirstWinsDedup:
         self._gen_bytes = 0  # live broadcast bytes across all unit filters
         self._batch_persists: list = []  # per-batch persisted DFs to release
         self._committed_cache: set[int] | None = None
+        self._commits_size = -1
         # per-batch read telemetry: {"units_total", "units_read",
         # "bytes_read", "candidates"} — the scale test asserts bytes_read
         # stays ~flat as committed state grows
@@ -169,17 +170,24 @@ class StreamingFirstWinsDedup:
         return os.path.join(self.state_dir, "_compaction.json")
 
     def _committed(self) -> set[int]:
-        # read the log once per process; afterwards the in-memory set is
-        # maintained by the (single-writer) commit append — a per-batch
-        # full-file re-read is O(stream-lifetime²) in total
-        if self._committed_cache is None:
-            if not os.path.exists(self._commits):
+        # the in-memory set is maintained by the (single-writer) commit
+        # append and validated against the log's SIZE each call (one
+        # stat) — a per-batch full-file re-read is O(stream-lifetime²)
+        # in total, while external truncation/replacement (crash
+        # simulation, manual surgery) still invalidates the cache
+        try:
+            size = os.path.getsize(self._commits)
+        except OSError:
+            size = 0
+        if self._committed_cache is None or size != self._commits_size:
+            if size == 0:
                 self._committed_cache = set()
             else:
                 with open(self._commits) as f:
                     self._committed_cache = {
                         json.loads(x)["batch_id"] for x in f if x.strip()
                     }
+            self._commits_size = size
         return self._committed_cache
 
     def _compaction(self) -> dict:
@@ -487,6 +495,7 @@ class StreamingFirstWinsDedup:
         with open(self._commits, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n_surv}) + "\n")
         self._committed().add(batch_id)
+        self._commits_size = os.path.getsize(self._commits)
 
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.compact(spark)
