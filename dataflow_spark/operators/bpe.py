@@ -94,7 +94,10 @@ def train_bpe(
 
         df = sample_hash_fraction(df, [text_col], sample_fraction, seed=sample_seed)
     state = _interspersed_words(df, text_col).persist()
-    state.count()
+    prev = None  # the previous generation, released one step late: the
+    # top-pair collect below is what materializes the CURRENT generation's
+    # cache, and until it runs the current plan still reads the previous
+    # one — no extra count() jobs, no recompute chains
     merges: list[tuple[str, str]] = []
     try:
         for _ in range(n_merges):
@@ -123,6 +126,9 @@ def train_bpe(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break  # every word is a single token already
             a, b = top[0]["pair"].split(US)
@@ -133,11 +139,11 @@ def train_bpe(
                 ).alias("w"),
                 "cnt",
             ).persist()
-            nxt.count()
-            state.unpersist()
-            state = nxt
+            prev, state = state, nxt
     finally:
         state.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

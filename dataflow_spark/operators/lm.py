@@ -74,9 +74,12 @@ def bigram_counts(df: DataFrame, text_col: str = "text"):
     big = df.select(
         F.explode(_bigrams(tokens_expr(F.col(text_col)))).alias("bg")
     ).select("bg.w1", "bg.w2")
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
-    cc = big.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
-    v = big.select("w2").distinct().count()
+    # one corpus explode total: the cached TYPE table feeds the context
+    # counts (sum over w2 of type counts == occurrence count of w1) and
+    # the vocabulary, instead of re-scanning the corpus per derived table
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    cc = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
+    v = bc.select("w2").distinct().count()
     return bc, cc, v
 
 
@@ -239,17 +242,21 @@ def trigram_kn_tables(df: DataFrame, text_col: str = "text"):
     tri = df.select(
         F.explode(_trigrams(tokens_expr(F.col(text_col)))).alias("t")
     ).select("t.w1", "t.w2", "t.w3")
-    t3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    # the trigram TYPE table is the single source for every other table —
+    # cache it so the corpus explode+shuffle runs once, not once per
+    # derived count/action (cache size = type count, not corpus size)
+    t3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")).persist()
     ctx3 = t3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("ctx3"), F.count(F.lit(1)).alias("nt3")
     )
-    cont2 = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont2"))
+    cont2 = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont2")).persist()
     mid = cont2.groupBy("w2").agg(
         F.sum("cont2").alias("midctx"), F.count(F.lit(1)).alias("midt")
     )
     cont1 = cont2.groupBy("w3").agg(F.count(F.lit(1)).alias("cont1"))
     total2 = cont2.count()
-    u = tri.select("w3").distinct().count()
+    # distinct targets of the TYPE table == distinct targets of the corpus
+    u = t3.select("w3").distinct().count()
     return t3, ctx3, cont2, mid, cont1, total2, u
 
 
