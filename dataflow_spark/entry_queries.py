@@ -1226,6 +1226,17 @@ def _q_score_bigram_perplexity(spark, sf):
     return LM.bigram_perplexity(df, "doc_id")
 
 
+def _q_classify_source_nb(spark, sf):
+    """Corpus-trained multinomial Naive Bayes (operators/nb.py) — the
+    real-trained-model upgrade of the reference's model-served classifier
+    family: predict each document's source from its tokens, model trained
+    on the corpus itself. Oracle re-derives training + scoring + argmax."""
+    from dataflow_spark.operators.nb import nb_classify
+
+    df = _t(spark, sf, "documents")
+    return nb_classify(df, "doc_id", "source")
+
+
 def _q_score_trigram_kn(spark, sf):
     """Interpolated Kneser-Ney trigram perplexity (the KenLM-semantics
     upgrade of the bigram model) — corpus-trained, exact-integer counts,
@@ -1623,7 +1634,49 @@ _KN_ORACLE_CTES = f"""
             FROM kterms GROUP BY id)
 """
 
+# multinomial NB oracle: training (count tables), per-token smoothed
+# log-probs, token-order fold, prior add, argmax with label tie-break —
+# op order pinned to operators/nb.py nb_classify
+_NB_ORACLE = """
+    WITH toks AS (SELECT doc_id AS id,
+                    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                                t -> t <> '') AS tk
+             FROM documents),
+    tw AS (SELECT d.source AS label, u.w
+           FROM documents d,
+                unnest(list_filter(regexp_split_to_array(lower(coalesce(d.text, '')), '\\s+'),
+                                   t -> t <> '')) AS u(w)),
+    wc AS (SELECT label, w, count(*) AS c FROM tw GROUP BY label, w),
+    cs AS (SELECT label, sum(c) AS n_tok FROM wc GROUP BY label),
+    dcn AS (SELECT source AS label, count(*) AS n_docs FROM documents GROUP BY source),
+    vv AS (SELECT count(DISTINCT w) AS v FROM wc),
+    tot AS (SELECT count(*) AS n FROM documents),
+    term AS (SELECT t.id, u.i AS pos, t.tk[u.i] AS w
+             FROM toks t, unnest(range(1, CAST(len(t.tk) AS BIGINT) + 1)) AS u(i)),
+    scored AS (
+      SELECT term.id, cs.label, term.pos,
+             ln(CAST(coalesce(wc.c, 0) + 1 AS DOUBLE)
+                / CAST(cs.n_tok + vv.v AS DOUBLE)) AS lp
+      FROM term CROSS JOIN cs
+      LEFT JOIN wc ON wc.label = cs.label AND wc.w = term.w, vv),
+    folded AS (SELECT id, label, list_sum(list(lp ORDER BY pos)) AS s
+               FROM scored GROUP BY id, label),
+    pri AS (SELECT dcn.label,
+                   ln(CAST(dcn.n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lpri
+            FROM dcn, tot),
+    allsc AS (
+      SELECT t.id, p.label, p.lpri + coalesce(f.s, 0.0) AS score
+      FROM toks t CROSS JOIN pri p
+      LEFT JOIN folded f ON f.id = t.id AND f.label = p.label),
+    ranked AS (SELECT id, label, score,
+                      row_number() OVER (PARTITION BY id
+                          ORDER BY score DESC, label ASC) AS rn
+               FROM allsc)
+    SELECT id AS doc_id, label AS pred_label, round(score, 6) AS score
+    FROM ranked WHERE rn = 1"""
+
 _LM_ORACLES = {
+    "classify_source_nb": _NB_ORACLE,
     "score_trigram_kn": f"""
         WITH {_KN_ORACLE_CTES}
         SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
@@ -3449,6 +3502,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_ivf": _q_ann_ivf,
             "score_bigram_perplexity": _q_score_bigram_perplexity,
             "score_trigram_kn": _q_score_trigram_kn,
+            "classify_source_nb": _q_classify_source_nb,
             "perplexity_lm_filter": _q_perplexity_lm_filter,
             "superfiltering_ifd": _q_superfiltering_ifd,
             "answer_token_length_filter": _q_answer_token_length_filter,

@@ -1,0 +1,121 @@
+"""Corpus-trained multinomial Naive Bayes classifier.
+
+The reference's classifier operators are LLM/model-served (the ~15
+model-backed filters and the Category/Difficulty classifier family,
+e.g. general_text/filter/*, reasoning/generate/category_classifier.py)
+— no weights ship in this environment, so per the engine doctrine (the
+same one that produced the bigram/KN LMs and the BPE tokenizer) the
+classifier itself is TRAINED on the corpus with exact-integer counts
+and add-1 smoothing, giving a real supervised model with an exact
+DuckDB oracle:
+
+    score(c | doc) = ln(n_docs_c / n_docs)
+                   + Σ_i ln((count(c, w_i) + 1) / (n_tok_c + V))
+
+Counts are distributed aggregations (map-side combinable); per-document
+log terms fold IN TOKEN ORDER (the LM discipline) so the sum is the
+same IEEE sequence in Spark and DuckDB; the argmax breaks ties on the
+smallest label. Scoring explodes tokens × classes (a broadcast of the
+tiny class table) and joins the class-conditional count table — one
+shuffle on (label, token), AQE-sized. At 100 TB the levers are the
+standard ones: the count tables are vocabulary×C-sized (not corpus),
+train on a ``sample_hash_fraction`` slice, and prune scoring to a
+candidate class subset when C is large.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from dataflow_spark.operators.lm import tokens_expr
+
+
+def nb_train(df: DataFrame, label_col: str, text_col: str = "text"):
+    """→ (word_counts[label,w,c], class_stats[label,n_tok,n_docs], V,
+    n_docs_total). One token explode; every other table derives from the
+    cached (label, word) TYPE table or a metadata-cheap groupBy."""
+    toks = df.select(
+        F.col(label_col).alias("label"),
+        F.explode(tokens_expr(F.col(text_col))).alias("w"),
+    )
+    wc = toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    cs = wc.groupBy("label").agg(F.sum("c").alias("n_tok"))
+    dc = df.groupBy(F.col(label_col).alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    cls = cs.join(dc, "label")
+    v = wc.select("w").distinct().count()
+    n_total = df.count()
+    return wc, cls, v, n_total
+
+
+def nb_classify(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    text_col: str = "text",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """(id, pred_label, score) — the model is trained on ``df`` itself
+    (labels from ``label_col``), then every row is scored against every
+    class and assigned the argmax (ties → smallest label). Token-less
+    documents get the prior-only argmax."""
+    wc, cls, v, n_total = nb_train(df, label_col, text_col)
+    toks = df.select(
+        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
+    )
+    term = toks.select("id", F.posexplode("tk").alias("pos", "w"))
+    scored = (
+        term.crossJoin(F.broadcast(cls))
+        .join(wc, ["label", "w"], "left")
+        .select(
+            "id",
+            "label",
+            "pos",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.col("n_tok") + F.lit(v)).cast("double")
+            ).alias("lp"),
+        )
+    )
+    folded = scored.groupBy("id", "label").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                lambda s: s["lp"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s")
+    )
+    pri = cls.select(
+        "label",
+        F.log(
+            F.col("n_docs").cast("double") / F.lit(float(n_total))
+        ).alias("lpri"),
+    )
+    all_scores = (
+        toks.select("id")
+        .crossJoin(F.broadcast(pri))
+        .join(folded, ["id", "label"], "left")
+        .select(
+            "id",
+            "label",
+            (F.col("lpri") + F.coalesce(F.col("s"), F.lit(0.0))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("label"))
+    out = (
+        all_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("label").alias("pred_label"),
+            "score",
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    return out

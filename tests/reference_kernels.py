@@ -379,3 +379,43 @@ def trigram_kn_ppl(texts, discount=0.75):
             s += math.log(p3)
         out.append(math.exp(-s / len(tk)))
     return out
+
+
+# The classifier-family doctrine twin (model-backed Category/quality
+# classifiers in the reference are LLM-served): sequential multinomial
+# Naive Bayes with add-1 smoothing, token-order log-prob accumulation,
+# argmax with smallest-label tie-break. Dict loops, independent of the
+# engine's join/fold formulation.
+def nb_classify_seq(texts, labels):
+    import collections
+    import math
+    import re
+
+    tok = lambda t: [  # noqa: E731
+        w for w in re.split(r"(?a)\s+", (t or "").lower()) if w
+    ]
+    wc = collections.Counter()
+    n_tok = collections.Counter()
+    n_docs = collections.Counter()
+    for t, lab in zip(texts, labels):
+        n_docs[lab] += 1
+        for w in tok(t):
+            wc[(lab, w)] += 1
+            n_tok[lab] += 1
+    vocab = len({w for (lab, w) in wc})
+    total = len(texts)
+    classes = sorted(n_docs)
+    out = []
+    for t in texts:
+        best = None
+        for lab in classes:
+            s = 0.0
+            for w in tok(t):
+                s += math.log(
+                    float(wc.get((lab, w), 0) + 1) / float(n_tok[lab] + vocab)
+                )
+            score = math.log(float(n_docs[lab]) / float(total)) + s
+            if best is None or score > best[0]:
+                best = (score, lab)
+        out.append(best)
+    return out
