@@ -166,6 +166,7 @@ def main() -> None:
         "score_bigram_perplexity",
         "score_trigram_kn",
         "score_token_count_bpe",
+        "classify_source_nb",
     ]
     timings: dict[str, float] = {}
 
