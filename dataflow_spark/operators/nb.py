@@ -21,6 +21,15 @@ shuffle on (label, token), AQE-sized. At 100 TB the levers are the
 standard ones: the count tables are vocabulary×C-sized (not corpus),
 train on a ``sample_hash_fraction`` slice, and prune scoring to a
 candidate class subset when C is large.
+
+Plan-shape note (measured, r5): an alternative formulation that avoids
+the tokens×C row blowup — per-token log-prob VECTORS via a word→map
+join, folded elementwise with zip_with — was built and benchmarked at
+sf0.1/C=20 and came out ~30% SLOWER than this narrow-row form: the
+nested higher-order-function chain (array_sort + per-token zip_with
+allocations) codegens worse than Tungsten's narrow-row hash aggregate,
+and shuffle bytes are comparable (a (token,label,double) row vs a
+C-double array amortize the same). Kept the measured winner.
 """
 
 from __future__ import annotations
