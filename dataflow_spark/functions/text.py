@@ -124,14 +124,18 @@ CCNET_UNICODE_PUNCT: list[tuple[str, str]] = [
 # reference's cc_net remove_non_printing_char strips (it drops ALL
 # category-C chars): soft hyphen, zero-width space/joiners + bidi marks
 # U+200B-200F, line/para separators + bidi embedding controls
-# U+2028-202E, word joiner U+2060, BOM/ZWNBSP U+FEFF. The Cf members are
-# embedded as literal characters (not \x{...} escapes) so the one class
-# compiles identically under Python re, Java regex, and DuckDB RE2.
-# Residual delta: rarer Cf points (U+061C, U+180E, interlinear
+# U+2028-202E, word joiner U+2060, BOM/ZWNBSP U+FEFF. The Cf members use
+# PYTHON \uXXXX string-literal escapes (resolved at parse time, so the
+# runtime pattern holds the literal characters and compiles identically
+# under Python re, Java regex, and DuckDB RE2 — regex-level \x{...}
+# escapes would NOT work in Python re) rather than raw invisible chars,
+# which trip trojan-source/bidi linters and can be mangled by diff
+# tools. Residual delta: rarer Cf points (U+061C, U+180E, interlinear
 # annotation anchors, TAG characters) still survive — outside the
 # reference's observed web-text domain.
 NON_PRINTING_CLASS = (
-    "[\\x00-\\x1f\\x7f-\\x9f­​-‏ -‮⁠﻿]"
+    "[\\x00-\\x1f\\x7f-\\x9f"
+    "\u00ad\u200b-\u200f\u2028-\u202e\u2060\ufeff]"
 )
 
 

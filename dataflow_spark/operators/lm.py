@@ -43,6 +43,28 @@ TOKEN_SPLIT = "\\s+"
 BOS = "<s>"
 
 
+def release_persists(handles) -> None:
+    """Unpersist every cached DataFrame in ``handles`` (a list filled by
+    passing ``persists=handles`` to the training entry points below).
+    Long-lived sessions (bench loops, the composed streaming app) call
+    this after materializing results so cached model tables don't
+    accrete until the nondeterministic ContextCleaner runs — the same
+    per-run lifecycle discipline as train_bpe and the streaming dedup."""
+    for h in handles:
+        try:
+            h.unpersist()
+        except Exception:  # noqa: BLE001 - stopped context on teardown
+            pass
+    handles.clear()
+
+
+def _track(df: DataFrame, persists) -> DataFrame:
+    df = df.persist()
+    if persists is not None:
+        persists.append(df)
+    return df
+
+
 def tokens_expr(c):
     """lowercase whitespace tokens, empties dropped (Python str.split
     semantics, shared with the DuckDB oracle's regexp_split_to_array)."""
@@ -65,19 +87,21 @@ def _bigrams(tk, seed=None):
     )
 
 
-def bigram_counts(df: DataFrame, text_col: str = "text"):
+def bigram_counts(df: DataFrame, text_col: str = "text", persists: list | None = None):
     """→ (bigram counts DF[w1, w2, c], context counts DF[w1, ctx], V).
 
     One explode + two groupBys; counts combine map-side. V = distinct
     token count of the corpus (BOS excluded — it never appears as w2's
-    prediction target vocabulary entry)."""
+    prediction target vocabulary entry). The bigram TYPE table is
+    persisted; pass ``persists`` to receive the handle and release it
+    via ``release_persists`` once results are materialized."""
     big = df.select(
         F.explode(_bigrams(tokens_expr(F.col(text_col)))).alias("bg")
     ).select("bg.w1", "bg.w2")
     # one corpus explode total: the cached TYPE table feeds the context
     # counts (sum over w2 of type counts == occurrence count of w1) and
     # the vocabulary, instead of re-scanning the corpus per derived table
-    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
+    bc = _track(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")), persists)
     cc = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
     v = bc.select("w2").distinct().count()
     return bc, cc, v
@@ -89,6 +113,7 @@ def bigram_perplexity(
     text_col: str = "text",
     k: int = 1,
     round_to: int | None = 6,
+    persists: list | None = None,
 ) -> DataFrame:
     """(id, n_tokens, ppl) for every row of ``df`` — the model is trained
     on ``df`` itself. Rows with no tokens get ppl NULL (nothing to score).
@@ -98,7 +123,7 @@ def bigram_perplexity(
     not — AQE decides), then one groupBy re-packs per-doc terms in token
     order for the ordered fold. No window over the corpus, no driver data.
     """
-    bc, cc, v = bigram_counts(df, text_col)
+    bc, cc, v = bigram_counts(df, text_col, persists)
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )
@@ -157,6 +182,7 @@ def superfiltering_ifd(
     resp_col: str,
     k: int = 1,
     round_to: int | None = 6,
+    persists: list | None = None,
 ) -> DataFrame:
     """Superfiltering IFD — instruction-following difficulty as the ratio
     of conditional to independent response perplexity
@@ -177,7 +203,7 @@ def superfiltering_ifd(
             "\n", F.coalesce(F.col(instr_col), F.lit("")), F.coalesce(F.col(resp_col), F.lit(""))
         ).alias("text")
     )
-    bc, cc, v = bigram_counts(whole, "text")
+    bc, cc, v = bigram_counts(whole, "text", persists)
     base = df.select(
         F.col(id_col).alias("id"),
         tokens_expr(F.col(resp_col)).alias("tk"),
@@ -225,7 +251,7 @@ def _trigrams(tk):
     )
 
 
-def trigram_kn_tables(df: DataFrame, text_col: str = "text"):
+def trigram_kn_tables(df: DataFrame, text_col: str = "text", persists: list | None = None):
     """All interpolated-Kneser-Ney count tables, derived from ONE trigram
     count table (exact integers; Chen & Goodman formulation):
 
@@ -245,11 +271,11 @@ def trigram_kn_tables(df: DataFrame, text_col: str = "text"):
     # the trigram TYPE table is the single source for every other table —
     # cache it so the corpus explode+shuffle runs once, not once per
     # derived count/action (cache size = type count, not corpus size)
-    t3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")).persist()
+    t3 = _track(tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")), persists)
     ctx3 = t3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("ctx3"), F.count(F.lit(1)).alias("nt3")
     )
-    cont2 = t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont2")).persist()
+    cont2 = _track(t3.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("cont2")), persists)
     mid = cont2.groupBy("w2").agg(
         F.sum("cont2").alias("midctx"), F.count(F.lit(1)).alias("midt")
     )
@@ -266,6 +292,7 @@ def trigram_kn_perplexity(
     text_col: str = "text",
     discount: float = 0.75,
     round_to: int | None = 6,
+    persists: list | None = None,
 ) -> DataFrame:
     """(id, n_tokens, ppl) under interpolated Kneser-Ney trigrams trained
     on ``df`` itself — the KenLM-semantics upgrade of the bigram add-k
@@ -284,7 +311,7 @@ def trigram_kn_perplexity(
     order is pinned (greatest(c−D,0) + (D·n)·p, then one divide), so the
     DuckDB oracle replays bit-identical doubles; per-doc log terms fold
     in token order exactly like the bigram model."""
-    t3, ctx3, cont2, mid, cont1, total2, u = trigram_kn_tables(df, text_col)
+    t3, ctx3, cont2, mid, cont1, total2, u = trigram_kn_tables(df, text_col, persists)
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )

@@ -38,18 +38,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from dataflow_spark.operators.lm import tokens_expr
+from dataflow_spark.operators.lm import _track, tokens_expr
 
 
-def nb_train(df: DataFrame, label_col: str, text_col: str = "text"):
+def nb_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    persists: list | None = None,
+):
     """→ (word_counts[label,w,c], class_stats[label,n_tok,n_docs], V,
     n_docs_total). One token explode; every other table derives from the
-    cached (label, word) TYPE table or a metadata-cheap groupBy."""
+    cached (label, word) TYPE table or a metadata-cheap groupBy. Pass
+    ``persists`` to receive the cached handle; release it with
+    ``lm.release_persists`` after materializing results."""
     toks = df.select(
         F.col(label_col).alias("label"),
         F.explode(tokens_expr(F.col(text_col))).alias("w"),
     )
-    wc = toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    wc = _track(toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c")), persists)
     cs = wc.groupBy("label").agg(F.sum("c").alias("n_tok"))
     dc = df.groupBy(F.col(label_col).alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")
@@ -66,12 +73,13 @@ def nb_classify(
     label_col: str,
     text_col: str = "text",
     round_to: int | None = 6,
+    persists: list | None = None,
 ) -> DataFrame:
     """(id, pred_label, score) — the model is trained on ``df`` itself
     (labels from ``label_col``), then every row is scored against every
     class and assigned the argmax (ties → smallest label). Token-less
     documents get the prior-only argmax."""
-    wc, cls, v, n_total = nb_train(df, label_col, text_col)
+    wc, cls, v, n_total = nb_train(df, label_col, text_col, persists)
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )

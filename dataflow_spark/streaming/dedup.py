@@ -152,7 +152,7 @@ class StreamingFirstWinsDedup:
         self._gen_bytes = 0  # live broadcast bytes across all unit filters
         self._batch_persists: list = []  # per-batch persisted DFs to release
         self._committed_cache: set[int] | None = None
-        self._commits_size = -1
+        self._commits_stat: tuple[int, int] | None = None
         # per-batch read telemetry: {"units_total", "units_read",
         # "bytes_read", "candidates"} — the scale test asserts bytes_read
         # stays ~flat as committed state grows
@@ -169,25 +169,33 @@ class StreamingFirstWinsDedup:
     def _manifest(self) -> str:
         return os.path.join(self.state_dir, "_compaction.json")
 
+    def _commits_fingerprint(self) -> tuple[int, int] | None:
+        """(size, mtime_ns) of the commit log, or None when absent — both
+        compared so an external SAME-LENGTH rewrite (crash-simulation
+        surgery swapping a line rather than truncating) invalidates the
+        cache, not just appends/truncations."""
+        try:
+            st = os.stat(self._commits)
+        except OSError:
+            return None
+        return (st.st_size, st.st_mtime_ns)
+
     def _committed(self) -> set[int]:
         # the in-memory set is maintained by the (single-writer) commit
-        # append and validated against the log's SIZE each call (one
-        # stat) — a per-batch full-file re-read is O(stream-lifetime²)
-        # in total, while external truncation/replacement (crash
-        # simulation, manual surgery) still invalidates the cache
-        try:
-            size = os.path.getsize(self._commits)
-        except OSError:
-            size = 0
-        if self._committed_cache is None or size != self._commits_size:
-            if size == 0:
+        # append and validated against the log's (size, mtime_ns) each
+        # call (one stat) — a per-batch full-file re-read is
+        # O(stream-lifetime²) in total, while external truncation,
+        # replacement, or same-length modification still invalidates it
+        fp = self._commits_fingerprint()
+        if self._committed_cache is None or fp != self._commits_stat:
+            if fp is None:
                 self._committed_cache = set()
             else:
                 with open(self._commits) as f:
                     self._committed_cache = {
                         json.loads(x)["batch_id"] for x in f if x.strip()
                     }
-            self._commits_size = size
+            self._commits_stat = fp
         return self._committed_cache
 
     def _compaction(self) -> dict:
@@ -351,13 +359,17 @@ class StreamingFirstWinsDedup:
         if any(v is None for v in sizes.values()):
             return full_read()
 
+        # __hx is the RAW bucket hash — the bucket index is taken mod the
+        # bucket count the compaction manifest RECORDS (the count the
+        # __bkt= dirs were written with), driver-side. Using
+        # self.n_buckets here would silently mis-skip units after a
+        # restart with a different n_buckets than the on-disk compaction.
+        comp_nb = self._compaction().get("n_buckets")
         bands_h = bands.select(
             "id",
             "band",
             *band_hash_cols("band"),
-            F.pmod(
-                F.xxhash64("band", F.lit("dfs-bkt")), F.lit(self.n_buckets)
-            ).alias("__hb"),
+            F.xxhash64("band", F.lit("dfs-bkt")).alias("__hx"),
         )
         if sum(sizes.values()) <= self.prefilter_broadcast_max_bytes:
             # 1a. broadcast prefilter: mostly-new data shrinks to real dups
@@ -369,7 +381,7 @@ class StreamingFirstWinsDedup:
                 might(F.col("__h1"), F.col("__h2"))
             ).persist()
             self._batch_persists.append(probe_src)
-            pairs = probe_src.select("__h1", "__h2", "__hb").distinct().collect()
+            pairs = probe_src.select("__h1", "__h2", "__hx").distinct().collect()
             read.update(
                 prefilter_mode="broadcast",
                 prefilter_broadcast_bytes=self._gen_bytes,
@@ -379,7 +391,7 @@ class StreamingFirstWinsDedup:
             # 1b. sharded driver probe: nothing broadcast; collect is
             #     bounded by the BATCH's distinct bands
             self._drop_generation()  # release executor copies of old filters
-            pairs = bands_h.select("__h1", "__h2", "__hb").distinct().collect()
+            pairs = bands_h.select("__h1", "__h2", "__hx").distinct().collect()
             probe_src = bands_h
             read.update(prefilter_mode="driver")
 
@@ -389,10 +401,15 @@ class StreamingFirstWinsDedup:
         if pairs:
             u1 = np.array([p["__h1"] for p in pairs], dtype=np.int64).view(np.uint64)
             u2 = np.array([p["__h2"] for p in pairs], dtype=np.int64).view(np.uint64)
-            batch_buckets = {p["__hb"] for p in pairs}
+            # Python % on a signed int64 with positive modulus == Spark
+            # pmod; comp_nb None = legacy manifest without a recorded
+            # bucket count → bucket skip disabled (every unit probed)
+            batch_buckets = (
+                {p["__hx"] % comp_nb for p in pairs} if comp_nb else None
+            )
             for u in units:
                 bkt = self._unit_bucket(u)
-                if bkt is not None and bkt not in batch_buckets:
+                if bkt is not None and batch_buckets is not None and bkt not in batch_buckets:
                     continue  # shard skip: no batch band hashes into it
                 val, got = self._bloom_cache.get(u)
                 read["sidecar_bytes_loaded"] += got
@@ -495,7 +512,7 @@ class StreamingFirstWinsDedup:
         with open(self._commits, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n_surv}) + "\n")
         self._committed().add(batch_id)
-        self._commits_size = os.path.getsize(self._commits)
+        self._commits_stat = self._commits_fingerprint()
 
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.compact(spark)
@@ -545,7 +562,19 @@ class StreamingFirstWinsDedup:
             bits, m = build_bloom(sdf, max(sdf.count(), 1))
             save_bloom(sub, bits, m)
         with open(self._manifest, "w") as f:
-            json.dump({"upto": upto, "dir": new_name, "seq": prev["seq"] + 1}, f)
+            # n_buckets is pinned IN the manifest: the __bkt= dirs just
+            # written are only meaningful under this count, and a restart
+            # with a different self.n_buckets must shard-skip against the
+            # recorded value, not its own
+            json.dump(
+                {
+                    "upto": upto,
+                    "dir": new_name,
+                    "seq": prev["seq"] + 1,
+                    "n_buckets": self.n_buckets,
+                },
+                f,
+            )
         # old dirs are now unreachable via the manifest — reclaim them
         for b in committed:
             if b <= upto:

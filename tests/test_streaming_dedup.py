@@ -272,3 +272,47 @@ def test_sharded_prefilter_bounds_broadcast_bytes(spark, tmp_path):
     )
     assert d.last_state_read["sidecar_bytes_loaded"] < total_sidecar
     assert len(kept["drv"]) == 7 * 400  # the duplicate row was dropped
+
+
+def test_restart_with_different_n_buckets_keeps_exactness(spark, tmp_path):
+    """The compaction's ``__bkt=`` dirs are only meaningful under the
+    bucket count they were WRITTEN with. A restart with a different
+    ``n_buckets`` must shard-skip against the count recorded in
+    ``_compaction.json`` — computing batch bucket ids with the new
+    instance's count would silently skip units that do contain colliding
+    bands and leak duplicates into the keep-set (r5 ADVICE, medium)."""
+    state = str(tmp_path / "state_nb")
+    out: list[int] = []
+    sink = lambda s, b: out.extend(r.rid for r in s.select("rid").collect())  # noqa: E731
+    d16 = StreamingFirstWinsDedup(
+        state, order_col="rid", downstream=sink, compact_every=None, n_buckets=16,
+    )
+    for b in range(4):
+        d16.process_batch(spark.createDataFrame(_unique_batch(b)), b)
+    d16.compact(spark)
+    assert d16._compaction()["n_buckets"] == 16  # manifest pins the count
+    n_committed = len(out)
+    assert n_committed == 4 * 400
+
+    # restart with n_buckets=5: under mod-5 batch bucket ids, compaction
+    # dirs __bkt=5..15 would be skipped by the buggy skip test — the
+    # duplicate batch's keepers live all across the 16 buckets
+    d5 = StreamingFirstWinsDedup(
+        state, order_col="rid", downstream=sink, compact_every=None, n_buckets=5,
+    )
+    dup = _unique_batch(0)
+    dup["rid"] = dup["rid"] + 2_000_000
+    d5.process_batch(spark.createDataFrame(dup), 4)
+    assert len(out) == n_committed  # every duplicate dropped
+
+    # legacy manifest without a recorded count → skip disabled, still exact
+    import json as _json
+
+    man = d5._compaction()
+    man.pop("n_buckets")
+    with open(d5._manifest, "w") as f:
+        _json.dump(man, f)
+    dup2 = _unique_batch(1)
+    dup2["rid"] = dup2["rid"] + 3_000_000
+    d5.process_batch(spark.createDataFrame(dup2), 5)
+    assert len(out) == n_committed
