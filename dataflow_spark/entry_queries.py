@@ -1245,6 +1245,25 @@ def _q_score_trigram_kn(spark, sf):
     return LM.trigram_kn_perplexity(df, "doc_id")
 
 
+def _q_score_perplexity_cjk(spark, sf):
+    """Bigram perplexity over a synthesized unsegmented (Han) corpus —
+    the CJK char-level tokenization fallback exercised end-to-end
+    (lm.segment_unsegmented): without it every synthesized document
+    would collapse to ONE token and the scores would be degenerate.
+    Corpus synthesis is translate()-based and identical in the oracle."""
+    from dataflow_spark.entry_queries import _CJK_HAN, _CJK_LATIN  # self
+
+    df = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.translate(
+            F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)),
+            _CJK_LATIN,
+            _CJK_HAN,
+        ).alias("text"),
+    )
+    return LM.bigram_perplexity(df, "doc_id")
+
+
 def _q_perplexity_lm_filter(spark, sf):
     df = _t(spark, sf, "documents").select("doc_id", "text")
     return LM.perplexity_filter(
@@ -1276,7 +1295,26 @@ def _q_superfiltering_ifd(spark, sf):
     return LM.superfiltering_ifd(split, "doc_id", "instr", "resp")
 
 
-_IFD_TOK = "list_filter(regexp_split_to_array(lower({x}), '\\s+'), t -> t <> '')"
+# RE2 spelling of lm.CJK_CLASS (Java regex uses the literal chars; RE2
+# wants \x{...}): Han + kana blocks whose code points tokenize char-level
+_CJK_SQL = (
+    "[\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}"
+    "\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}]"
+)
+
+
+def _seg_sql(x: str) -> str:
+    """Replay of lm.segment_unsegmented: space out each unsegmented-script
+    code point before the whitespace split (r5 ask #4)."""
+    return f"regexp_replace({x}, '({_CJK_SQL})', ' \\1 ', 'g')"
+
+
+def _tok_sql(x: str) -> str:
+    """Replay of lm.tokens_expr — the shared LM/KN/NB/IFD tokenizer."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({_seg_sql(x)}), '\\s+'),"
+        " t -> t <> '')"
+    )
 
 _LM_ORACLES_IFD = {
     "superfiltering_ifd": f"""
@@ -1290,7 +1328,7 @@ _LM_ORACLES_IFD = {
                  array_to_string(list_slice(tk0, 1, 8), ' ') AS instr,
                  array_to_string(list_slice(tk0, 9, len(tk0)), ' ') AS resp
           FROM t0),
-        wtoks AS (SELECT doc_id AS id, {_IFD_TOK.format(x="instr || chr(10) || resp")} AS tk
+        wtoks AS (SELECT doc_id AS id, {_tok_sql("instr || chr(10) || resp")} AS tk
                   FROM src),
         big AS (SELECT t.id, u.i AS pos,
                        CASE WHEN u.i = 1 THEN '<s>' ELSE t.tk[u.i - 1] END AS w1,
@@ -1300,8 +1338,8 @@ _LM_ORACLES_IFD = {
         cc AS (SELECT w1, count(*) AS ctx FROM big GROUP BY w1),
         vv AS (SELECT count(DISTINCT w2) AS v FROM big),
         rtoks AS (SELECT s.doc_id AS id,
-                         {_IFD_TOK.format(x="s.resp")} AS rtk,
-                         coalesce({_IFD_TOK.format(x="s.instr")}[-1], '<s>') AS seed
+                         {_tok_sql("s.resp")} AS rtk,
+                         coalesce({_tok_sql("s.instr")}[-1], '<s>') AS seed
                   FROM src s),
         chains AS (
           SELECT id, 'c' AS ch, u.i AS pos,
@@ -1565,11 +1603,14 @@ _SAMPLING_ORACLES = {
 # Exact replay of operators/lm.py: integer count tables + one IEEE
 # division per term + ln of bit-identical doubles + TOKEN-ORDER fold
 # (list(lp ORDER BY pos) summed sequentially = Spark's array aggregate).
-_LM_ORACLE_CTES = """
+def _lm_ctes(src: str = "documents") -> str:
+    """The bigram-LM oracle CTE chain over any ``(doc_id, text)``
+    relation — parametrized so the CJK query below can train/score over
+    its synthesized corpus with the identical replay."""
+    return f"""
     toks AS (SELECT doc_id AS id,
-                    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
-                                t -> t <> '') AS tk
-             FROM documents),
+                    {_tok_sql("coalesce(text, '')")} AS tk
+             FROM {src}),
     big AS (SELECT t.id, u.i AS pos,
                    CASE WHEN u.i = 1 THEN '<s>' ELSE t.tk[u.i - 1] END AS w1,
                    t.tk[u.i] AS w2
@@ -1583,6 +1624,23 @@ _LM_ORACLE_CTES = """
     pd AS (SELECT id, list_sum(list(lp ORDER BY pos)) AS lps, count(*) AS n
            FROM terms GROUP BY id)
 """
+
+
+_LM_ORACLE_CTES = _lm_ctes()
+
+# The CJK corpus is SYNTHESIZED inside the query — deterministically,
+# from the documents table both engines already share — because the
+# driver's fixed tables carry no unsegmented-script text: translate()
+# maps the 26 Latin letters onto 26 Han code points (identical 1:1
+# multibyte semantics in Spark and DuckDB), producing whitespace-free
+# Han runs that exercise the segment_unsegmented char-level fallback
+# end-to-end (training AND scoring — r5 VERDICT ask #4).
+_CJK_LATIN = "abcdefghijklmnopqrstuvwxyz"
+_CJK_HAN = "安以宇衣於加幾久計己左之寸世曽太知川天止奈仁奴祢乃末"
+_CJK_SRC_SQL = (
+    "(SELECT doc_id, translate(lower(substring(coalesce(text, ''), 1, 60)),"
+    f" '{_CJK_LATIN}', '{_CJK_HAN}') AS text FROM documents)"
+)
 
 # interpolated-KN trigram scoring expression shared by the oracle below;
 # op order pinned to operators/lm.py trigram_kn_perplexity: greatest(c−D,0)
@@ -1608,8 +1666,7 @@ _KN_P3 = (
 
 _KN_ORACLE_CTES = f"""
     toks AS (SELECT doc_id AS id,
-                    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
-                                t -> t <> '') AS tk
+                    {_tok_sql("coalesce(text, '')")} AS tk
              FROM documents),
     tri AS (SELECT t.id, u.i AS pos,
                    CASE WHEN u.i <= 2 THEN '<s>' ELSE t.tk[u.i - 2] END AS w1,
@@ -1637,15 +1694,13 @@ _KN_ORACLE_CTES = f"""
 # multinomial NB oracle: training (count tables), per-token smoothed
 # log-probs, token-order fold, prior add, argmax with label tie-break —
 # op order pinned to operators/nb.py nb_classify
-_NB_ORACLE = """
+_NB_ORACLE = f"""
     WITH toks AS (SELECT doc_id AS id,
-                    list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
-                                t -> t <> '') AS tk
+                    {_tok_sql("coalesce(text, '')")} AS tk
              FROM documents),
     tw AS (SELECT d.source AS label, u.w
            FROM documents d,
-                unnest(list_filter(regexp_split_to_array(lower(coalesce(d.text, '')), '\\s+'),
-                                   t -> t <> '')) AS u(w)),
+                unnest({_tok_sql("coalesce(d.text, '')")}) AS u(w)),
     wc AS (SELECT label, w, count(*) AS c FROM tw GROUP BY label, w),
     cs AS (SELECT label, sum(c) AS n_tok FROM wc GROUP BY label),
     dcn AS (SELECT source AS label, count(*) AS n_docs FROM documents GROUP BY source),
@@ -1684,6 +1739,11 @@ _LM_ORACLES = {
         FROM toks t LEFT JOIN kpd ON kpd.id = t.id""",
     "score_bigram_perplexity": f"""
         WITH {_LM_ORACLE_CTES}
+        SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+               round(exp(-pd.lps / pd.n), 6) AS ppl
+        FROM toks t LEFT JOIN pd ON pd.id = t.id""",
+    "score_perplexity_cjk": f"""
+        WITH {_lm_ctes(_CJK_SRC_SQL)}
         SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
                round(exp(-pd.lps / pd.n), 6) AS ppl
         FROM toks t LEFT JOIN pd ON pd.id = t.id""",
@@ -3501,6 +3561,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_lsh": _q_ann_lsh,
             "ann_topk_ivf": _q_ann_ivf,
             "score_bigram_perplexity": _q_score_bigram_perplexity,
+            "score_perplexity_cjk": _q_score_perplexity_cjk,
             "score_trigram_kn": _q_score_trigram_kn,
             "classify_source_nb": _q_classify_source_nb,
             "perplexity_lm_filter": _q_perplexity_lm_filter,

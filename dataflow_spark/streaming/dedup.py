@@ -50,15 +50,19 @@ prefilter is a union-of-Blooms broadcast — broadcast PER IMMUTABLE UNIT,
 created when a unit first commits and destroyed when compaction replaces
 it, so a micro-batch ships only the previous batch's new filter and
 nothing accretes over the stream's life. Past the cap the prefilter
-switches to a sharded driver probe: the batch's DISTINCT band hashes
-(bounded by batch size, independent of state size) probe the unit Blooms
-driver-side, and compaction buckets none of the batch's bands hash into
-are never loaded at all — per-batch broadcast bytes are ZERO and driver
-memory is LRU-capped (``bloom_cache_max_bytes``), with cold probes
-re-reading only the sidecars their buckets hash into. The remaining
-unbounded quantity is sidecar bytes ON DISK (~2 B/committed band — 2 TB
-at 10^12 bands, cheap storage); the event-time retention horizon stays
-the knob that bounds even that.
+switches to the sharded DISTRIBUTED probe: per-generation broadcasts are
+dropped, the only thing ever collected is the batch's distinct BUCKET
+IDS (≤ the manifest's bucket count — a handful of ints, independent of
+both batch and state size), and the per-unit hit/skip decision is an
+executor-side ``bit_or`` aggregation of a Bloom-bitmask column
+(``bloom_mask_udf``) — chunked so transient broadcast bytes stay under
+the cap and destroyed right after each chunk's single job. No band hash
+ever reaches the driver in either mode; compaction buckets none of the
+batch's bands hash into are never loaded at all, and driver Bloom memory
+is LRU-capped (``bloom_cache_max_bytes``). The remaining unbounded
+quantity is sidecar bytes ON DISK (~2 B/committed band — 2 TB at 10^12
+bands, cheap storage); the event-time retention horizon stays the knob
+that bounds even that.
 """
 
 from __future__ import annotations
@@ -67,8 +71,6 @@ import glob as _glob
 import json
 import os
 import shutil
-
-import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -81,10 +83,10 @@ from dataflow_spark.streaming.bloom import (
     BloomCache,
     band_hash_cols,
     bloom_filter_udf,
+    bloom_mask_udf,
     build_bloom,
     dir_parquet_bytes,
     make_bloom_broadcast,
-    might_contain_vec,
     save_bloom,
     sidecar_bytes,
 )
@@ -321,13 +323,19 @@ class StreamingFirstWinsDedup:
           collected. The broadcast is per-GENERATION (see
           ``_generation_udf``), not per-batch.
         * ``driver`` (state past ``prefilter_broadcast_max_bytes``) — no
-          broadcast at all: the batch's DISTINCT band hashes (bounded by
-          batch size, independent of state size) come to the driver and
-          probe the unit Blooms there. Compaction buckets none of the
-          batch's bands hash into are never loaded from disk — the
-          band-hash-prefix sharding lever, so per-batch broadcast bytes
-          are ZERO and sidecar reads track the batch's bucket fan-out,
-          not the keep-set.
+          standing broadcast at all: per-generation filters are dropped
+          and the whole batch band table becomes the probe source.
+
+        In BOTH modes the per-unit hit/skip decision then runs on the
+        executors (``_probe_units``): the driver's role is unit
+        selection — it collects the batch's distinct bucket ids (≤ the
+        manifest's bucket count) for the shard skip and two longs per
+        probe chunk, never a band hash. Compaction buckets none of the
+        batch's bands hash into are never loaded from disk, per-batch
+        standing broadcast bytes in driver mode are ZERO (chunk
+        broadcasts are transient, ≤ the cap, destroyed after one job),
+        and sidecar reads track the batch's bucket fan-out, not the
+        keep-set.
         """
         units = self._state_units()
         self._bloom_cache.retain(units)
@@ -335,6 +343,7 @@ class StreamingFirstWinsDedup:
             "units_total": len(units), "units_read": 0, "bytes_read": 0,
             "candidates": 0, "prefilter_mode": None,
             "prefilter_broadcast_bytes": 0, "sidecar_bytes_loaded": 0,
+            "probe_broadcast_peak_bytes": 0,
         }
         if not units:
             self.last_state_read = read
@@ -373,7 +382,7 @@ class StreamingFirstWinsDedup:
         )
         if sum(sizes.values()) <= self.prefilter_broadcast_max_bytes:
             # 1a. broadcast prefilter: mostly-new data shrinks to real dups
-            #     + ~0.07% false positives before the driver sees anything
+            #     + ~0.07% false positives before anything else runs
             might, loaded = self._generation_udf(spark, units)
             if might is None:
                 return full_read()
@@ -381,50 +390,57 @@ class StreamingFirstWinsDedup:
                 might(F.col("__h1"), F.col("__h2"))
             ).persist()
             self._batch_persists.append(probe_src)
-            pairs = probe_src.select("__h1", "__h2", "__hx").distinct().collect()
+            reuse_gen = True
             read.update(
                 prefilter_mode="broadcast",
                 prefilter_broadcast_bytes=self._gen_bytes,
                 sidecar_bytes_loaded=loaded,
             )
         else:
-            # 1b. sharded driver probe: nothing broadcast; collect is
-            #     bounded by the BATCH's distinct bands
+            # 1b. sharded distributed probe: no standing broadcast; the
+            #     whole batch band table is the probe source and the
+            #     per-unit decision runs on the executors
             self._drop_generation()  # release executor copies of old filters
-            pairs = bands_h.select("__h1", "__h2", "__hx").distinct().collect()
-            probe_src = bands_h
+            probe_src = self._persist(bands_h)
+            reuse_gen = False
             read.update(prefilter_mode="driver")
 
-        # 2. probe each (bucket-relevant) unit's Bloom with the candidate
-        #    hashes → units to read
-        hit_units: list[str] = []
-        if pairs:
-            u1 = np.array([p["__h1"] for p in pairs], dtype=np.int64).view(np.uint64)
-            u2 = np.array([p["__h2"] for p in pairs], dtype=np.int64).view(np.uint64)
-            # Python % on a signed int64 with positive modulus == Spark
-            # pmod; comp_nb None = legacy manifest without a recorded
-            # bucket count → bucket skip disabled (every unit probed)
-            batch_buckets = (
-                {p["__hx"] % comp_nb for p in pairs} if comp_nb else None
-            )
-            for u in units:
-                bkt = self._unit_bucket(u)
-                if bkt is not None and batch_buckets is not None and bkt not in batch_buckets:
-                    continue  # shard skip: no batch band hashes into it
-                val, got = self._bloom_cache.get(u)
-                read["sidecar_bytes_loaded"] += got
-                if val is None or might_contain_vec(val[0], val[1], u1, u2).any():
-                    hit_units.append(u)
+        # 2. shard skip: the ONLY per-batch collect is the set of distinct
+        #    bucket ids — ≤ the manifest's bucket count rows, independent
+        #    of batch and state size. comp_nb None = legacy manifest
+        #    without a recorded count → skip disabled (every unit probed).
+        if comp_nb:
+            batch_buckets = {
+                r[0]
+                for r in probe_src.select(
+                    F.pmod(F.col("__hx"), F.lit(comp_nb)).alias("b")
+                )
+                .distinct()
+                .collect()
+            }
+        else:
+            batch_buckets = None
+        cand_units = []
+        for u in units:
+            bkt = self._unit_bucket(u)
+            if bkt is not None and batch_buckets is not None and bkt not in batch_buckets:
+                continue  # no batch band hashes into this compaction bucket
+            cand_units.append(u)
+
+        # 3. distributed Bloom-bitmask probe → units to read
+        hit_units, candidates = self._probe_units(
+            spark, probe_src, cand_units, read, reuse_gen
+        )
         read.update(
             units_read=len(hit_units),
             bytes_read=sum(dir_parquet_bytes(u) for u in hit_units),
-            candidates=len(pairs),
+            candidates=candidates,
         )
         self.last_state_read = read
         if not hit_units:
             return None
 
-        # 3. exact anti-join of the candidates against ONLY the hit units —
+        # 4. exact join of the candidates against ONLY the hit units —
         #    Blooms never have false negatives, so skipped units provably
         #    contain none of this batch's bands and the result is identical
         #    to the full-state join.
@@ -434,6 +450,100 @@ class StreamingFirstWinsDedup:
             .select("id")
             .distinct()
         )
+
+    def _probe_units(
+        self,
+        spark: SparkSession,
+        probe_df: DataFrame,
+        units: list[str],
+        read: dict,
+        reuse_gen: bool,
+    ) -> tuple[list[str], int]:
+        """Which of ``units`` might contain any of ``probe_df``'s band
+        hashes — decided ENTIRELY on the executors: each probe chunk runs
+        one aggregation job computing ``bit_or`` of a per-unit Bloom
+        bitmask (``bloom_mask_udf``) plus a candidate-row count, so the
+        driver receives two longs per chunk and never a band hash (the r5
+        VERDICT over-cap fix: the old driver mode collected the batch's
+        full distinct band set — ~5M Rows at a 1M-row trigger).
+
+        Chunks are bounded by 63 filters (the int64 mask) AND
+        ``prefilter_broadcast_max_bytes`` of transient broadcast; in
+        ``reuse_gen`` mode (broadcast prefilter) the per-generation unit
+        broadcasts are composed instead, shipping zero new bytes. Chunk
+        broadcasts are destroyed right after their job — nothing accretes.
+        Units with a missing/unreadable sidecar are conservatively treated
+        as hits (exactness over pruning). Cost: one scan of the persisted
+        ``probe_df`` per chunk — chunk count grows only with state
+        sidecars / cap, and the scan is the (in-memory) batch, never the
+        state. Returns ``(hit_units, candidate_row_count)`` where the
+        count may double-count a row hitting units in different chunks
+        (telemetry, not semantics)."""
+        hit_units: list[str] = []
+        candidates = 0
+        probeable: list[tuple[str, int]] = []
+        for u in units:
+            sz = sidecar_bytes(u)
+            if sz is None:
+                hit_units.append(u)  # sidecar-less: must read
+            else:
+                probeable.append((u, sz))
+        chunks: list[list[str]] = []
+        cur: list[str] = []
+        cur_bytes = 0
+        for u, sz in probeable:
+            if cur and (
+                len(cur) >= 63
+                or cur_bytes + sz > self.prefilter_broadcast_max_bytes
+            ):
+                chunks.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(u)
+            cur_bytes += sz
+        if cur:
+            chunks.append(cur)
+        for chunk in chunks:
+            tmp_bc = None
+            if reuse_gen:
+                bcs = [self._unit_bcs[u][0] for u in chunk]
+            else:
+                vals, kept = [], []
+                for u in chunk:
+                    val, got = self._bloom_cache.get(u)
+                    read["sidecar_bytes_loaded"] += got
+                    if val is None:
+                        hit_units.append(u)  # unreadable sidecar: must read
+                    else:
+                        vals.append(val)
+                        kept.append(u)
+                if not kept:
+                    continue
+                chunk = kept
+                tmp_bc = make_bloom_broadcast(spark, vals)
+                read["probe_broadcast_peak_bytes"] = max(
+                    read["probe_broadcast_peak_bytes"],
+                    sum(v[0].nbytes for v in vals),
+                )
+                bcs = [tmp_bc]
+            row = (
+                probe_df.select(
+                    bloom_mask_udf(bcs)(F.col("__h1"), F.col("__h2")).alias("__mk")
+                )
+                .agg(
+                    F.bit_or("__mk").alias("bits"),
+                    F.sum((F.col("__mk") != F.lit(0)).cast("long")).alias("cand"),
+                )
+                .collect()[0]
+            )
+            if tmp_bc is not None:
+                try:
+                    tmp_bc.destroy()
+                except Exception:  # noqa: BLE001 - already-stopped context
+                    pass
+            bits = row["bits"] or 0
+            hit_units.extend(u for i, u in enumerate(chunk) if (bits >> i) & 1)
+            candidates += row["cand"] or 0
+        return hit_units, candidates
 
     def _persist(self, df: DataFrame) -> DataFrame:
         """Per-batch cache, released at the end of ``process_batch`` —

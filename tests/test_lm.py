@@ -231,3 +231,40 @@ def test_no_python_in_trigram_kn_plan(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+CJK_TEXTS = [
+    "日本語のテキストです",            # unsegmented han+kana run
+    "日本語のテキストですね",          # near-twin — similar, not equal
+    "機械学習 と 自然言語処理",        # spaced groups of han runs
+    "mixed latin と 日本語 text",      # segmented + unsegmented mix
+    "日本語のテキストです",            # exact repeat of doc 0
+]
+
+
+def test_bigram_ppl_cjk_char_fallback(spark):
+    """r5 VERDICT ask #4: unsegmented scripts must NOT collapse to one
+    token per document — segment_unsegmented gives char-level tokens for
+    Han/kana runs, so perplexity carries real signal on a CJK corpus."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(CJK_TEXTS)), "text": CJK_TEXTS})
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in bigram_perplexity(df, "doc_id").collect()
+    }
+    # char-level: doc 0 has 10 CJK chars -> 10 tokens, not 1
+    assert got[0][0] == 10
+    # mixed doc: 3 latin words + spaced-out CJK chars
+    assert got[3][0] == 3 + 3 + 1  # mixed/latin/text + 日本語 chars + と
+    # non-degenerate: all ppl finite-positive and the corpus separates —
+    # the exact repeat ties doc 0, the novel-mix doc is more surprising
+    assert all(p is not None and p > 0 for _, p in got.values())
+    assert got[4][1] == got[0][1]
+    assert got[3][1] > got[0][1]
+    # deterministic: same input -> same scores on a re-run
+    again = {
+        r["doc_id"]: (r["n_tokens"], r["ppl"])
+        for r in bigram_perplexity(df, "doc_id").collect()
+    }
+    assert again == got

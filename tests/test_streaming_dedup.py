@@ -274,6 +274,66 @@ def test_sharded_prefilter_bounds_broadcast_bytes(spark, tmp_path):
     assert len(kept["drv"]) == 7 * 400  # the duplicate row was dropped
 
 
+def test_overcap_probe_never_collects_band_hashes(spark, tmp_path):
+    """r5 VERDICT ask #2: past ``prefilter_broadcast_max_bytes`` the
+    driver's role is UNIT SELECTION — it must never collect the batch's
+    band hashes (the old over-cap path collected the full distinct band
+    set: ~5M Rows at a 1M-row trigger). With the distributed bitmask
+    probe, every collect during an over-cap batch is driver-sized: bucket
+    ids (≤ n_buckets rows), one 2-long row per probe chunk, Bloom-build
+    partials (≤ #partitions rows of filter words, sized by the filter,
+    not the batch). Semantics: the known-duplicate half of the big batch
+    still drops exactly."""
+    out: list[int] = []
+    d = StreamingFirstWinsDedup(
+        str(tmp_path / "state_oc"), order_col="rid",
+        downstream=lambda s, b: out.extend(r.rid for r in s.select("rid").collect()),
+        compact_every=4, n_buckets=8, prefilter_broadcast_max_bytes=0,
+    )
+    for b in range(6):
+        d.process_batch(spark.createDataFrame(_unique_batch(b)), b)
+    n_before = len(out)
+
+    # large mixed batch: 800 duplicates of committed keepers + 800 new
+    big = pd.concat(
+        [_unique_batch(0), _unique_batch(1), _unique_batch(98), _unique_batch(99)],
+        ignore_index=True,
+    )
+    big["rid"] = np.arange(len(big), dtype="int64") + 5_000_000
+
+    # patch the CLASSIC implementation class — in Spark 4 the public
+    # pyspark.sql.DataFrame is an abstract base whose collect() the
+    # classic subclass overrides
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:  # pre-connect-refactor pyspark
+        from pyspark.sql import DataFrame as _DF
+
+    sizes: list[int] = []
+    orig = _DF.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    _DF.collect = spy
+    try:
+        d.process_batch(spark.createDataFrame(big), 6)
+    finally:
+        _DF.collect = orig
+
+    assert d.last_state_read["prefilter_mode"] == "driver"
+    assert d.last_state_read["prefilter_broadcast_bytes"] == 0
+    # 6400 distinct band rows in the batch — a band-hash collect would be
+    # thousands of rows; unit selection needs only driver-sized results
+    # (the one large-ish collect is the test's own downstream sink)
+    internal = sorted(sizes)[:-1]  # drop the downstream survivors collect
+    assert internal and max(internal) <= 64, sizes
+    # semantics: duplicate half dropped, new half kept, first-wins intact
+    assert len(out) == n_before + 800
+
+
 def test_restart_with_different_n_buckets_keeps_exactness(spark, tmp_path):
     """The compaction's ``__bkt=`` dirs are only meaningful under the
     bucket count they were WRITTEN with. A restart with a different
