@@ -81,11 +81,18 @@ _REFINER_ORACLES = {
 
 
 def _pii_oracle_expr() -> str:
-    # chained regexp_replace built from the SAME pattern list as the engine
-    from dataflow_spark.functions.refiners import PII_PATTERNS
+    # chained regexp_replace built from an INDEPENDENT parse of the
+    # neutral serialized table (resources/pii_patterns.json) — NOT the
+    # engine's constructed PII_PATTERNS object, so an engine-side
+    # transcription slip shows up as an oracle mismatch (r5 ask #5)
+    import json
 
+    from dataflow_spark.resources import rule_table_path
+
+    with open(rule_table_path("pii_patterns.json"), encoding="utf-8") as f:
+        rules = json.load(f)
     expr = "text"
-    for pat, rep in PII_PATTERNS:
+    for pat, rep in rules:
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
     return expr
 
@@ -108,13 +115,18 @@ _REFINER_ORACLES["ccnet_normalize"] = _ccnet_norm_oracle_expr()
 
 
 def _html_md_oracle_expr(src: str = "text") -> str:
-    # chained regexp_replace from the SAME rule table as the engine
-    # (functions/text.HTML_MD_RULES); RE2 replacement syntax (\1) is
-    # already what the table stores
-    from dataflow_spark.functions.text import HTML_MD_RULES
+    # chained regexp_replace from an INDEPENDENT parse of the neutral
+    # serialized rule table (resources/html_md_rules.json) — not the
+    # engine's HTML_MD_RULES object (r5 ask #5); RE2 replacement syntax
+    # (\1) is the file's stored convention
+    import json
 
+    from dataflow_spark.resources import rule_table_path
+
+    with open(rule_table_path("html_md_rules.json"), encoding="utf-8") as f:
+        rules = json.load(f)
     expr = src
-    for pat, rep in HTML_MD_RULES:
+    for pat, rep in rules:
         p = pat.replace("'", "''")
         r = rep.replace("'", "''")
         expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
@@ -2865,10 +2877,15 @@ def _q_pii_filter(spark, sf):
 
 
 def _pii_filter_oracle() -> str:
-    from dataflow_spark.functions.refiners import PII_PATTERNS
+    # independent parse of the neutral table, as in _pii_oracle_expr
+    import json
 
+    from dataflow_spark.resources import rule_table_path
+
+    with open(rule_table_path("pii_patterns.json"), encoding="utf-8") as f:
+        rules = json.load(f)
     conds = " AND ".join(
-        f"NOT regexp_matches(coalesce(text, ''), '{pat}')" for pat, _ in PII_PATTERNS
+        f"NOT regexp_matches(coalesce(text, ''), '{pat}')" for pat, _ in rules
     )
     return f"SELECT doc_id, text FROM documents WHERE {conds}"
 

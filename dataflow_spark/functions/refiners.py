@@ -245,15 +245,15 @@ def _k_stem(s: pd.Series) -> pd.Series:
 # (URLs may embed @), card/SSN/IP before PHONE (digit-run overlap).
 # Patterns are ASCII-only ([0-9], ASCII \b) so Java regex (Spark), RE2
 # (DuckDB oracle) and re.ASCII (kernel) agree byte-for-byte.
-PII_PATTERNS: list[tuple[str, str]] = [
-    (r"https?://\S+", "<URL>"),
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL_ADDRESS>"),
-    (r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "<CREDIT_CARD>"),
-    (r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<US_SSN>"),
-    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP_ADDRESS>"),
-    (r"(?:\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}\b",
-     "<PHONE_NUMBER>"),
-]
+# The table itself lives in a NEUTRAL serialized form
+# (resources/pii_patterns.json) parsed independently here and by the
+# DuckDB oracle (entry_queries._pii_oracle_expr) — neither side imports
+# the other's Python object, so an escaping or transcription slip on
+# either side shows up as an oracle mismatch instead of propagating
+# silently (r5 VERDICT ask #5).
+from dataflow_spark.resources import load_rule_table
+
+PII_PATTERNS: list[tuple[str, str]] = load_rule_table("pii_patterns.json")
 
 _PII_COMPILED = [(re.compile(p, re.ASCII), rep) for p, rep in PII_PATTERNS]
 

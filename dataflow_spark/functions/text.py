@@ -150,45 +150,14 @@ NON_PRINTING_CLASS = (
 # (knowledge_cleaning/generate/file_or_url_to_markdown_converter.py:150 —
 # its PDF/OCR branches call external engines (MinerU/trafilatura) and stay
 # a documented seam).
-HTML_MD_RULES: list[tuple[str, str]] = [
-    # drop non-content blocks entirely
-    (r"(?is)<script\b[^>]*>.*?</script\s*>", ""),
-    (r"(?is)<style\b[^>]*>.*?</style\s*>", ""),
-    (r"(?is)<!--.*?-->", ""),
-    # line structure
-    (r"(?is)<br\s*/?>", "\n"),
-    (r"(?is)</p\s*>", "\n\n"),
-    (r"(?is)<p\b[^>]*>", ""),
-    # headings (explicit per level: '#'*n is not regex-expressible)
-    (r"(?is)<h1\b[^>]*>", "\n\n# "),
-    (r"(?is)<h2\b[^>]*>", "\n\n## "),
-    (r"(?is)<h3\b[^>]*>", "\n\n### "),
-    (r"(?is)<h4\b[^>]*>", "\n\n#### "),
-    (r"(?is)<h5\b[^>]*>", "\n\n##### "),
-    (r"(?is)<h6\b[^>]*>", "\n\n###### "),
-    (r"(?is)</h[1-6]\s*>", "\n\n"),
-    # inline markup BEFORE the generic tag strip
-    (r'(?is)<a\b[^>]*href="([^"]*)"[^>]*>(.*?)</a\s*>', r"[\2](\1)"),
-    (r"(?is)<(?:b|strong)\b[^>]*>(.*?)</(?:b|strong)\s*>", r"**\1**"),
-    (r"(?is)<(?:i|em)\b[^>]*>(.*?)</(?:i|em)\s*>", r"*\1*"),
-    (r"(?is)<code\b[^>]*>(.*?)</code\s*>", r"`\1`"),
-    # lists
-    (r"(?is)<li\b[^>]*>", "\n- "),
-    (r"(?is)</li\s*>", ""),
-    (r"(?is)</?(?:ul|ol)\b[^>]*>", "\n"),
-    # everything else: strip the tag, keep the text
-    (r"(?is)<[^>]+>", ""),
-    # entities AFTER tag handling (so &lt; can't fabricate tags); &amp;
-    # decodes LAST so double-escaped text ('&amp;lt;') yields the literal
-    # '&lt;' exactly as html.unescape / browsers do
-    (r"&nbsp;", " "),
-    (r"&lt;", "<"),
-    (r"&gt;", ">"),
-    (r"&quot;", '"'),
-    (r"&#39;", "'"),
-    (r"&amp;", "&"),
-    # whitespace normalization
-    (r"[ \t]+\n", "\n"),
-    (r"\n{3,}", "\n\n"),
-    (r"^\s+|\s+$", ""),
-]
+# The rule table itself is NEUTRAL serialized data
+# (resources/html_md_rules.json) parsed independently here and by the
+# DuckDB oracle — see resources/__init__.py (r5 VERDICT ask #5). Rule
+# ordering in the file is semantic: non-content blocks drop first,
+# inline markup converts BEFORE the generic tag strip, entities decode
+# AFTER tag handling (so &lt; can't fabricate tags) with &amp; LAST
+# (double-escaped '&amp;lt;' yields literal '&lt;' exactly as
+# html.unescape / browsers do), whitespace normalization closes.
+from dataflow_spark.resources import load_rule_table as _load_rule_table
+
+HTML_MD_RULES: list[tuple[str, str]] = _load_rule_table("html_md_rules.json")
