@@ -245,6 +245,32 @@ def main() -> None:
     shutil.rmtree(sink_dir, ignore_errors=True)
     shutil.rmtree(ck, ignore_errors=True)
 
+    # scored streaming leg (r6 ask #6): train-once BPE+LM models, then a
+    # per-batch perplexity/token-count band filter through the sink.
+    # Timing includes training — it's the stage's fixed per-run cost
+    # (train on the static corpus, score the whole stream against it).
+    from dataflow_spark.streaming.app import TranscriptsApp
+
+    app_dir = tempfile.mkdtemp(prefix="dfs_bench_scored_")
+    ck2 = tempfile.mkdtemp(prefix="dfs_bench_ck2_")
+    app = TranscriptsApp(src_dir=tpath, out_dir=app_dir)
+    t0 = time.time()
+    app.train_models(spark)
+    sq2 = (
+        apply_refiners(file_stream(spark, tpath), app.refiners)
+        .writeStream.foreachBatch(
+            lambda bdf, bid: app.scored_sink.foreach_batch(app.score_df(bdf), bid)
+        )
+        .option("checkpointLocation", ck2)
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq2.awaitTermination()
+    timings["stream_scored_transcripts"] = round(time.time() - t0, 3)
+    app.release_models()
+    shutil.rmtree(app_dir, ignore_errors=True)
+    shutil.rmtree(ck2, ignore_errors=True)
+
     for name in headline:
         t0 = time.time()
         _force(q[name](spark, SF_DIR))

@@ -149,6 +149,31 @@ def bigram_perplexity(
     order for the ordered fold. No window over the corpus, no driver data.
     """
     bc, cc, v = bigram_counts(df, text_col, persists)
+    return bigram_ppl_with_tables(
+        df, id_col, bc, cc, v, text_col=text_col, k=k, round_to=round_to
+    )
+
+
+def bigram_ppl_with_tables(
+    df: DataFrame,
+    id_col: str,
+    bc: DataFrame,
+    cc: DataFrame,
+    v: int,
+    text_col: str = "text",
+    k: int = 1,
+    round_to: int | None = 6,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Score rows against FIXED count tables — the train-once /
+    score-forever split the streaming runtime needs: train on the static
+    corpus before the stream starts, score every micro-batch against the
+    same (persisted, optionally broadcast-hinted) tables. Scoring is a
+    pure per-row function of the tables, so the union of per-batch
+    outputs equals the one-shot batch query byte-for-byte — the
+    streaming-vs-batch contract test_streaming_app pins."""
+    if broadcast:
+        bc, cc = F.broadcast(bc), F.broadcast(cc)
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )

@@ -14,6 +14,14 @@ queries (shared source directory, independent checkpoints):
    (conv_id, turn_idx); first-wins priority/identity is a per-batch
    arrival rank over (ts, turn_idx, conv_id), so the survivor among
    near-duplicates is always the earliest qualifying turn.
+5. **scored**  — model-scored quality band: a BPE tokenizer and a bigram
+   LM are TRAINED ONCE on the static (refined) corpus before the stream
+   starts; every micro-batch is then scored against those fixed tables
+   (merge table in the plan / count tables broadcast) and kept only
+   inside the (perplexity, BPE-token-count) band → exactly-once sink on
+   (conv_id, turn_idx). Scoring with fixed tables is a pure per-row
+   function, so the union of per-batch outputs byte-matches the one-shot
+   batch query on the same input — the contract test_streaming_app pins.
 
 A JsonlMetricsListener records per-batch progress; each sink records
 per-batch per-partition lineage. Everything restarts from checkpoints.
@@ -47,6 +55,11 @@ class TranscriptsApp:
     gap_seconds: int = 600
     watermark: str = "2 minutes"
     max_files_per_trigger: int | None = 4
+    # scored stage: band thresholds + trained-model sizes (48 merges stays
+    # on the nested-replace codegen path — zero Python in the hot loop)
+    bpe_merges: int = 48
+    max_ppl: float = 60.0
+    bpe_token_band: tuple[int, int] = (8, 150)
 
     def __post_init__(self):
         self.clean_sink = KeyedMergeSink(
@@ -62,6 +75,78 @@ class TranscriptsApp:
         self.dedup_sink = KeyedMergeSink(
             os.path.join(self.out_dir, "deduped"), keys=("conv_id", "turn_idx")
         )
+        self.scored_sink = KeyedMergeSink(
+            os.path.join(self.out_dir, "scored"), keys=("conv_id", "turn_idx")
+        )
+
+    def train_models(self, spark: SparkSession):
+        """Train the scored stage's models ONCE on the static (refined)
+        corpus — the same rows the stream will refine — and pin the
+        tables for the stream's life: the BPE merge list rides in the
+        plan (nested-replace codegen at the default 48 merges), the LM
+        count tables are persisted here and broadcast-hinted per batch.
+        Called by start(); idempotent."""
+        if getattr(self, "_lm_tables", None) is not None:
+            return
+        from dataflow_spark.operators import lm as LM
+        from dataflow_spark.operators.bpe import train_bpe_local
+        from dataflow_spark.schemas import TRANSCRIPTS
+
+        static = apply_refiners(
+            spark.read.schema(TRANSCRIPTS).parquet(self.src_dir), self.refiners
+        )
+        self._bpe_table = train_bpe_local(static, "text", n_merges=self.bpe_merges)
+        self._lm_persists: list = []
+        bc, cc, v = LM.bigram_counts(static, "text", self._lm_persists)
+        self._lm_tables = (bc, cc, v)
+
+    def release_models(self):
+        """Unpersist the trained LM tables (mirrors the per-batch
+        lifecycle discipline elsewhere; run_to_completion calls this)."""
+        from dataflow_spark.operators.lm import release_persists
+
+        release_persists(getattr(self, "_lm_persists", []) or [])
+        self._lm_persists = []
+
+    def score_df(self, df):
+        """The scored stage's transformation — shared verbatim by the
+        per-micro-batch path and the batch twin, so the streaming output
+        can be byte-compared against the one-shot batch query."""
+        from dataflow_spark.operators import lm as LM
+        from dataflow_spark.operators.bpe import bpe_token_count_auto
+        from pyspark.sql import functions as F
+
+        bc, cc, v = self._lm_tables
+        base = df.withColumn(
+            "__rid", F.concat_ws(":", "conv_id", "turn_idx")
+        )
+        scores = LM.bigram_ppl_with_tables(
+            base, "__rid", bc, cc, v, broadcast=True
+        ).withColumnRenamed("n_tokens", "n_tokens_lm")
+        lo, hi = self.bpe_token_band
+        return (
+            base.join(scores, "__rid")
+            .withColumn(
+                "n_tokens_bpe", bpe_token_count_auto("text", self._bpe_table)
+            )
+            .filter(
+                F.col("ppl").isNotNull()
+                & (F.col("ppl") <= F.lit(self.max_ppl))
+                & F.col("n_tokens_bpe").between(lo, hi)
+            )
+            .drop("__rid")
+        )
+
+    def scored_batch_twin(self, spark: SparkSession):
+        """The one-shot batch equivalent of the scored stream: refine the
+        full static input, score against the same trained tables."""
+        from dataflow_spark.schemas import TRANSCRIPTS
+
+        self.train_models(spark)
+        static = apply_refiners(
+            spark.read.schema(TRANSCRIPTS).parquet(self.src_dir), self.refiners
+        )
+        return self.score_df(static)
 
     def start(self, spark: SparkSession, available_now: bool = True):
         listener = JsonlMetricsListener(os.path.join(self.out_dir, "metrics.jsonl"))
@@ -135,15 +220,32 @@ class TranscriptsApp:
             .trigger(**trigger)
             .start()
         )
-        return [q1, q2, q3, q4]
+
+        # 5. scored: train-once models, score-and-band-filter each batch
+        self.train_models(spark)
+        to_score = apply_refiners(stream(), self.refiners)
+
+        def _score_batch(bdf, batch_id):
+            self.scored_sink.foreach_batch(self.score_df(bdf), batch_id)
+
+        q5 = (
+            to_score.writeStream.queryName("scored")
+            .foreachBatch(_score_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "ck_scored"))
+            .trigger(**trigger)
+            .start()
+        )
+        return [q1, q2, q3, q4, q5]
 
     def run_to_completion(self, spark: SparkSession, timeout: int = 600):
         queries = self.start(spark, available_now=True)
         for q in queries:
             q.awaitTermination(timeout)
+        self.release_models()
         return {
             "clean_rows": sum(r["rows"] for r in self.clean_sink.lineage()),
             "conversations": sum(r["rows"] for r in self.assembly_sink.lineage()),
             "pairs": sum(r["rows"] for r in self.pairs_sink.lineage()),
             "deduped": sum(r["rows"] for r in self.dedup_sink.lineage()),
+            "scored": sum(r["rows"] for r in self.scored_sink.lineage()),
         }

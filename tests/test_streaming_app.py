@@ -37,7 +37,35 @@ def test_transcripts_app_end_to_end(spark, tmp_path):
     assert len(progress) >= 3
     assert any(r["num_input_rows"] > 0 for r in progress)
 
+    # scored stage (r5 VERDICT ask #6): train-once BPE+LM models, per-batch
+    # band filter — the streamed union must BYTE-MATCH the one-shot batch
+    # twin on the same input (scoring with fixed tables is row-pure)
+    assert 0 < counts["scored"] < counts["clean_rows"] + counts["deduped"]
+    key = ["conv_id", "turn_idx"]
+    got = (
+        app.scored_sink.read_table(spark)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    want = (
+        app.scored_batch_twin(spark)
+        .toPandas()[got.columns.tolist()]
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    # the band actually bites in both directions
+    assert (got["ppl"] <= app.max_ppl).all()
+    assert got["n_tokens_bpe"].between(*app.bpe_token_band).all()
+
     # per-partition lineage in every sink
-    for sink in (app.clean_sink, app.assembly_sink, app.pairs_sink, app.dedup_sink):
+    for sink in (
+        app.clean_sink,
+        app.assembly_sink,
+        app.pairs_sink,
+        app.dedup_sink,
+        app.scored_sink,
+    ):
         lin = sink.lineage()
         assert lin and all("partition_rows" in r for r in lin)
