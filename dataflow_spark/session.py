@@ -70,6 +70,45 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("DFS_DRIVER_MEM", "16g"))
     )
+    # Iceberg feature probe (activates the real MERGE INTO sink path the
+    # moment the environment provides a runtime jar — no code change):
+    # DFS_ICEBERG_JAR=/path/to/iceberg-spark-runtime-*.jar configures the
+    # jar, the SQL extensions, and a hadoop-type catalog named `local`
+    # (warehouse from DFS_ICEBERG_WAREHOUSE, default /tmp). Absent or
+    # missing jar → plain session, parquet KeyedMergeSink stays the sink.
+    ice_jar = os.environ.get("DFS_ICEBERG_JAR")
+    if ice_jar and os.path.exists(ice_jar):
+        builder = (
+            builder.config("spark.jars", ice_jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions"
+                ".IcebergSparkSessionExtensions",
+            )
+            .config(
+                "spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog"
+            )
+            .config("spark.sql.catalog.local.type", "hadoop")
+            .config(
+                "spark.sql.catalog.local.warehouse",
+                os.environ.get(
+                    "DFS_ICEBERG_WAREHOUSE", "/tmp/dfs_iceberg_warehouse"
+                ),
+            )
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is actually loadable on this session's
+    JVM (the jar probe above succeeded AND the class resolves) — the
+    gate the sink factory and the skip-marked test use."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001 - classic-mode probe
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:  # noqa: BLE001 - any resolution failure = unavailable
+        return False

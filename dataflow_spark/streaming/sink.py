@@ -138,9 +138,45 @@ class KeyedMergeSink:
             return [json.loads(line) for line in f if line.strip()]
 
 
+def merge_sink_for(
+    spark,
+    path: str,
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+    iceberg_table: str | None = None,
+):
+    """Sink factory behind the Iceberg feature probe: when the session's
+    JVM actually has the Iceberg runtime (``session.iceberg_available`` —
+    activated by ``DFS_ICEBERG_JAR`` at session build), return the real
+    MERGE INTO foreachBatch against ``iceberg_table`` (default: a
+    ``local.db.<basename>`` hadoop-catalog table, created on first use);
+    otherwise fall back to the parquet :class:`KeyedMergeSink` at
+    ``path``. Returns ``(foreach_batch_fn, sink_or_None)`` — the sink
+    object is None on the Iceberg path (lineage lives in table history)."""
+    from dataflow_spark.session import iceberg_available
+
+    if iceberg_available(spark):
+        table = iceberg_table or (
+            "local.db." + os.path.basename(path.rstrip("/")).replace("-", "_")
+        )
+
+        def fn(df: DataFrame, batch_id: int) -> None:
+            s = df.sparkSession
+            s.sql(
+                f"CREATE TABLE IF NOT EXISTS {table} "
+                f"({', '.join(f'{f.name} {f.dataType.simpleString()}' for f in df.schema.fields)}) "
+                "USING iceberg"
+            )
+            iceberg_merge_sink(table, keys)(df, batch_id)
+
+        return fn, None
+    sink = KeyedMergeSink(path, keys=keys)
+    return sink.foreach_batch, sink
+
+
 def iceberg_merge_sink(table: str, keys: tuple[str, ...] = ("conv_id", "turn_idx")):
     """foreachBatch function doing a real Iceberg MERGE INTO (requires an
-    Iceberg catalog on the session; not available in this container)."""
+    Iceberg catalog on the session; activated via the DFS_ICEBERG_JAR
+    probe in session.get_spark — not available in this container)."""
 
     def fn(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession

@@ -5,6 +5,8 @@ per-partition lineage is recorded."""
 import os
 import time
 
+import pytest
+
 import pandas as pd
 
 from dataflow_spark.datagen import make_transcripts
@@ -98,3 +100,52 @@ def test_merge_upserts_by_key(spark, tmp_path):
     sink.foreach_batch(df2, 1)
     out = {(r.conv_id, r.turn_idx): r.text for r in sink.read_table(spark).collect()}
     assert out == {("c1", 0): "v2", ("c1", 1): "w"}  # last writer wins
+
+
+def test_merge_sink_factory_falls_back_without_iceberg(spark, tmp_path):
+    """r5 VERDICT ask #8: the sink factory probes the session JVM for the
+    Iceberg runtime and falls back to the parquet KeyedMergeSink when
+    absent (this container). The probe must be a clean False here, and
+    the returned foreach_batch must be the real parquet merge."""
+    import pandas as pd
+
+    from dataflow_spark.session import iceberg_available
+    from dataflow_spark.streaming.sink import KeyedMergeSink, merge_sink_for
+
+    assert iceberg_available(spark) is False
+    fn, sink = merge_sink_for(spark, str(tmp_path / "tbl"), keys=("k",))
+    assert isinstance(sink, KeyedMergeSink)
+    fn(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})), 0)
+    fn(spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": ["B", "c"]})), 1)
+    got = {r["k"]: r["v"] for r in sink.read_table(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+
+
+@pytest.mark.skipif(
+    not (
+        os.environ.get("DFS_ICEBERG_JAR")
+        and os.path.exists(os.environ.get("DFS_ICEBERG_JAR", ""))
+    ),
+    reason="Iceberg runtime jar not provided (set DFS_ICEBERG_JAR)",
+)
+def test_iceberg_merge_sink_active_with_jar(spark, tmp_path):
+    """Activates the moment the environment provides an Iceberg runtime
+    jar: the factory must pick the real MERGE INTO path and the table
+    must be key-unique after overlapping batches. NOTE: the jar must be
+    on the session at build time — run this test in its own process with
+    DFS_ICEBERG_JAR exported before any other test builds the session."""
+    import pandas as pd
+
+    from dataflow_spark.session import iceberg_available
+    from dataflow_spark.streaming.sink import merge_sink_for
+
+    if not iceberg_available(spark):
+        pytest.skip("session was built before DFS_ICEBERG_JAR was set")
+    table = "local.db.sink_probe"
+    fn, sink = merge_sink_for(spark, str(tmp_path / "x"), keys=("k",), iceberg_table=table)
+    assert sink is None
+    fn(spark.createDataFrame(pd.DataFrame({"k": [1, 2], "v": ["a", "b"]})), 0)
+    fn(spark.createDataFrame(pd.DataFrame({"k": [2, 3], "v": ["B", "c"]})), 1)
+    got = {r["k"]: r["v"] for r in spark.table(table).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
