@@ -3541,6 +3541,202 @@ _MULTIMODAL_ORACLE = {
 }
 
 
+# -------------------------------------------- chemistry / speech / vision
+
+# Planted SMILES corpus: valid molecules, one malformed candidate and one
+# plain word, cycled by doc_id — the extraction query appends one to each
+# document so both engines see the same mixed corpus (same synthesis
+# pattern as the CJK perplexity query).
+_SMILES_PLANT = [
+    "CC(=O)Oc1ccccc1C(=O)O",   # aspirin — valid
+    "C1CCCCC1",                # cyclohexane — valid
+    "CC((O",                   # unbalanced parens — rejected by the fold
+    "N[C@@H](C)C(=O)O",        # alanine with stereo — valid
+    "no-smiles-here",          # charset-only word, no structure chars
+    "[Na+].[Cl-]",             # salt — valid bracket atoms
+]
+
+_SMILES_PAIRS = [
+    ("C[C@H](N)C(=O)O", "CC(N)C(=O)O"),   # stereo stripped → equivalent
+    ("[C]1CCCCC1", "C1CCCCC1"),           # plain bracket atom → equivalent
+    ("CCO", "OCC"),                        # reordering → NOT (subset is
+    ("CC(=O)O", "CC(=O)O"),                #   conservative without RDKit)
+    ("C/C=C/C", "CC=CC"),                  # cis/trans marks stripped → eq
+]
+
+
+def _q_extract_smiles(spark, sf):
+    """SMILES extraction from free text (reference chemistry
+    extract_smiles_from_text.py:15; RDKit-free deterministic subset —
+    charset + structure-char candidates, paren/bracket FOLD validation,
+    ring-digit pairing — operators/chemistry.py). Corpus = documents
+    text with one planted candidate per row."""
+    from dataflow_spark.operators.chemistry import extract_smiles
+
+    plant = F.array([F.lit(s) for s in _SMILES_PLANT])
+    df = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" "),
+            F.element_at(plant, (F.col("doc_id") % 6 + 1).cast("int")),
+        ).alias("text"),
+    )
+    return extract_smiles(df, "doc_id")
+
+
+def _q_smiles_equivalence(spark, sf):
+    """Molecule-equivalence verdicts (reference chemistry
+    eval_smiles_equivalence.py:11 — RDKit canonical compare; here the
+    documented subset: normalized string equality with stereo markers
+    stripped and plain bracket atoms unbracketed; RDKit path is an
+    import-gated seam in operators/chemistry.py)."""
+    from dataflow_spark.operators.chemistry import smiles_equivalent
+
+    a = F.array([F.lit(x) for x, _ in _SMILES_PAIRS])
+    b = F.array([F.lit(y) for _, y in _SMILES_PAIRS])
+    idx = (F.col("doc_id") % 5 + 1).cast("int")
+    df = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.element_at(a, idx).alias("a"),
+        F.element_at(b, idx).alias("b"),
+    )
+    return df.select(
+        "doc_id", "a", "b", smiles_equivalent(df, "a", "b").alias("equiv")
+    )
+
+
+def _q_speech2text_stub(spark, sf):
+    """Speech→text over binary payloads (reference core_speech
+    speech2text_generator.py:16 — served ASR model Δ): REAL mapInPandas
+    Arrow plumbing, stubbed decode whose md5 derivation the oracle
+    replays in SQL. Payloads synthesized from documents text."""
+    from dataflow_spark.operators.multimodal import speech_to_text
+
+    df = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64), "utf-8"
+        ).alias("payload"),
+    )
+    return speech_to_text(df)
+
+
+def _q_vqa_stub(spark, sf):
+    """Prompted VQA (reference core_vision prompted_vqa_generator.py:9 —
+    served VLM Δ): deterministic template answer keyed on the question's
+    first content word + the payload's md5 token, through the real
+    mapInPandas plumbing."""
+    from dataflow_spark.operators.multimodal import vqa_answer
+
+    df = _t(spark, sf, "documents").select(
+        F.col("doc_id").alias("asset_id"),
+        F.encode(
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 64), "utf-8"
+        ).alias("payload"),
+        F.concat(
+            F.lit("is the "), F.col("source"), F.lit(" shown here")
+        ).alias("question"),
+    )
+    return vqa_answer(df)
+
+
+# SMILES charset/structure classes, re-spelled for RE2 (the engine spells
+# them once in operators/chemistry.py for Java regex — both forms below
+# are char-identical classes)
+_SM_CHARSET = r"^[A-Za-z0-9@+\-\[\]()=#$%/\\.:]+$"
+_SM_STRUCT = r"[()=#\[\]0-9]"
+_SM_ATOM = "[BCNOPSFIbcnops]"
+# fold replay: chars → {1: '(', 2: ')', 3: '[', 4: ']', 0: other}, state
+# (paren_depth+50)*10000 + (bracket_depth+50)*100 + broken, init 505000
+_SM_FOLD = """
+    list_reduce(
+      list_prepend(505000::BIGINT,
+        list_transform(list_filter(regexp_split_to_array(tok, ''), c -> c <> ''),
+          c -> (CASE c WHEN '(' THEN 1 WHEN ')' THEN 2
+                       WHEN '[' THEN 3 WHEN ']' THEN 4 ELSE 0 END)::BIGINT)),
+      (acc, x) ->
+        ((acc // 10000) - 50 + CASE WHEN x = 1 THEN 1 WHEN x = 2 THEN -1 ELSE 0 END + 50) * 10000
+        + (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END + 50) * 100
+        + CASE WHEN ((acc // 10000) - 50 + CASE WHEN x = 1 THEN 1 WHEN x = 2 THEN -1 ELSE 0 END) < 0
+                 OR (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END) < 0
+                 OR (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END) > 1
+               THEN 1 ELSE acc % 100 END)
+"""
+
+_SM_PLANT_SQL = (
+    "['" + "','".join(_SMILES_PLANT) + "'][(doc_id % 6) + 1]"
+)
+
+_SM_RING_OK = " AND ".join(
+    f"(length(nobr) - length(replace(nobr, '{d}', ''))) % 2 = 0"
+    for d in "123456789"
+)
+
+_CHEM_ORACLES = {
+    "extract_smiles": f"""
+        WITH src AS (
+          SELECT doc_id, coalesce(text, '') || ' ' || {_SM_PLANT_SQL} AS text
+          FROM documents),
+        toks AS (
+          SELECT s.doc_id, u.i - 1 AS pos, a.a[u.i] AS tok
+          FROM src s,
+               LATERAL (SELECT regexp_split_to_array(s.text, '\\s+') AS a) a,
+               unnest(range(1, CAST(len(a.a) AS BIGINT) + 1)) AS u(i)),
+        v AS (
+          SELECT doc_id, pos, tok,
+                 regexp_replace(tok, '\\[[^\\]]*\\]', '', 'g') AS nobr,
+                 {_SM_FOLD} AS fold
+          FROM toks
+          WHERE regexp_matches(tok, '{_SM_CHARSET}')
+            AND regexp_matches(tok, '{_SM_STRUCT}')
+            AND regexp_matches(tok, '{_SM_ATOM}')
+            AND length(tok) >= 5)
+        SELECT doc_id, CAST(pos AS INT) AS pos, tok AS smiles
+        FROM v WHERE fold = 505000 AND {_SM_RING_OK}""",
+    "smiles_equivalence": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 ['{"','".join(x for x, _ in _SMILES_PAIRS)}'][(doc_id % 5) + 1] AS a,
+                 ['{"','".join(y for _, y in _SMILES_PAIRS)}'][(doc_id % 5) + 1] AS b
+          FROM documents),
+        n AS (
+          SELECT doc_id, a, b,
+                 regexp_replace(regexp_replace(a, '[@/\\\\]', '', 'g'),
+                                '\\[([BCNOPSFI])H?\\]', '\\1', 'g') AS na,
+                 regexp_replace(regexp_replace(b, '[@/\\\\]', '', 'g'),
+                                '\\[([BCNOPSFI])H?\\]', '\\1', 'g') AS nb
+          FROM p)
+        SELECT doc_id, a, b, (na = nb) AS equiv FROM n""",
+    "speech2text_stub": """
+        WITH src AS (
+          SELECT doc_id AS asset_id,
+                 substring(coalesce(text, ''), 1, 64) AS s
+          FROM documents)
+        SELECT asset_id,
+               trim(regexp_replace(
+                 translate(md5(s), '0123456789', 'aeioubcdfg'),
+                 '(....)', '\\1 ', 'g')) AS transcript,
+               CAST(8 AS INT) AS n_words,
+               CAST(octet_length(encode(s)) AS DOUBLE) / 16000.0 AS duration_s
+        FROM src""",
+    "vqa_stub": """
+        WITH src AS (
+          SELECT doc_id AS asset_id,
+                 substring(coalesce(text, ''), 1, 64) AS s,
+                 'is the ' || source || ' shown here' AS question
+          FROM documents)
+        SELECT asset_id, question,
+               'the ' || coalesce(
+                   lower(list_filter(regexp_split_to_array(question, '\\s+'),
+                                     w -> length(w) > 3)[1]), 'it')
+               || ' is '
+               || substring(translate(md5(s), '0123456789', 'aeioubcdfg'), 1, 4)
+               AS answer
+        FROM src""",
+}
+
+
 # ------------------------------------------------------------------ registry
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3594,6 +3790,10 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "top_orders_per_segment": _q_top_orders_per_segment,
             "top_events_per_user": _q_top_events_per_user,
             "multimodal_features": _q_multimodal_features,
+            "extract_smiles": _q_extract_smiles,
+            "smiles_equivalence": _q_smiles_equivalence,
+            "speech2text_stub": _q_speech2text_stub,
+            "vqa_stub": _q_vqa_stub,
             "sql_component_classify": _q_sql_component_classify,
             "sql_execution_filter": _q_sql_execution_filter,
             "html_to_markdown_doc": _q_html_to_markdown_doc,
@@ -3714,6 +3914,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_REASONING_ORACLES)
     o.update(_REASONING_ORACLES_ROOT)
     o.update(_MULTIMODAL_ORACLE)
+    o.update(_CHEM_ORACLES)
     o.update(_SKETCH_KMV_ORACLE)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)

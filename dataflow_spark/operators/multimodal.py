@@ -105,3 +105,91 @@ def synth_assets(spark, n: int = 64, seed: int = 5) -> DataFrame:
         rows.append((i, modality, bytearray(payload), f"{modality}/fake"))
     pdf = pd.DataFrame(rows, columns=["asset_id", "modality", "payload", "mime"])
     return spark.createDataFrame(pdf)
+
+
+SPEECH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("transcript", T.StringType(), False),
+        T.StructField("n_words", T.IntegerType(), False),
+        T.StructField("duration_s", T.DoubleType(), False),
+    ]
+)
+
+# md5 hex digits → letters, so the fake transcript reads as words; the
+# SAME translate table is replayed by the DuckDB oracle
+_HEX2ALPHA = str.maketrans("0123456789", "aeioubcdfg")
+
+
+def _fake_transcript(payload: bytes) -> str:
+    """STUB speech decoder (reference core_speech
+    speech2text_generator.py:16 runs a served ASR model): deterministic
+    md5-derived pseudo-words — one 4-char word per 4 hex digits. The
+    derivation is expressible in SQL, so the full mapInPandas path gets
+    an exact oracle; a real ASR drops in behind the same signature."""
+    hx = hashlib.md5(payload).hexdigest().translate(_HEX2ALPHA)
+    return " ".join(hx[i : i + 4] for i in range(0, len(hx), 4))
+
+
+def speech_to_text(df: DataFrame, sample_rate: int = 16_000) -> DataFrame:
+    """Arrow-batched speech→text over (asset_id, payload) binary rows:
+    real mapInPandas plumbing, stubbed decode (no ASR model in this
+    container). ``duration_s`` treats the payload as 8-bit mono PCM at
+    ``sample_rate`` — metadata-path realism for a fake decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "transcript": payloads.map(_fake_transcript),
+                    "n_words": 8,
+                    "duration_s": (payloads.map(len) / float(sample_rate)),
+                }
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(run, schema=SPEECH_SCHEMA)
+
+
+VQA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("question", T.StringType(), False),
+        T.StructField("answer", T.StringType(), False),
+    ]
+)
+
+
+def vqa_answer(df: DataFrame) -> DataFrame:
+    """PromptedVQAGenerator stand-in (reference core_vision
+    prompted_vqa_generator.py:9 — a served VLM): deterministic template
+    answer keyed on the question's first content word (>3 chars,
+    lowercased) and the image payload's md5-derived token. Real
+    mapInPandas plumbing over (asset_id, payload, question); the
+    derivation is SQL-replayable for the exact oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"].map(lambda b: bytes(b) if b is not None else b"")
+            toks = payloads.map(
+                lambda b: hashlib.md5(b).hexdigest().translate(_HEX2ALPHA)[:4]
+            )
+            kws = pdf["question"].map(
+                lambda q: next(
+                    (w.lower() for w in (q or "").split() if len(w) > 3), "it"
+                )
+            )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "question": pdf["question"],
+                    "answer": [
+                        f"the {k} is {t}" for k, t in zip(kws, toks)
+                    ],
+                }
+            )
+
+    return df.select("asset_id", "payload", "question").mapInPandas(
+        run, schema=VQA_SCHEMA
+    )

@@ -573,6 +573,17 @@ class StreamingFirstWinsDedup:
     def _process_batch_inner(
         self, spark: SparkSession, df: DataFrame, batch_id: int
     ) -> None:
+        import time as _time
+
+        tm: dict[str, float] = {}
+        t0 = _time.time()
+
+        def _mark(phase: str) -> None:
+            nonlocal t0
+            now = _time.time()
+            tm[phase] = round(now - t0, 3)
+            t0 = now
+
         df = self._persist(df)
         bands = self._persist(self._band_table(df))
 
@@ -581,6 +592,7 @@ class StreamingFirstWinsDedup:
         # the band value: one shuffle, no self-join, no pair explosion —
         # and the state side is Bloom-pruned to the units that can collide.
         hit_ids = self._collisions_with_state(spark, bands)
+        _mark("probe")
         if hit_ids is not None:
             df_alive = df.join(
                 hit_ids.withColumnRenamed("id", "__hit"),
@@ -605,6 +617,7 @@ class StreamingFirstWinsDedup:
             bands.join(survivors.select(F.col(self.order_col).alias("id")), "id")
         )
         surv_bands.write.mode("overwrite").parquet(self._batch_dir(batch_id))
+        _mark("claim_write")  # bands + claim + state write all materialize here
         # Bloom sidecar before the commit append: a committed dir always
         # carries its filter (a crash mid-sidecar leaves the dir uncommitted
         # and replay overwrites both). Sized without an extra count job:
@@ -612,13 +625,17 @@ class StreamingFirstWinsDedup:
         # survivors × bands; built from the checkpointed band table (same
         # deterministic content as the parquet just written).
         n_surv = survivors.count()
+        _mark("count")
         from dataflow_spark.operators.dedup import optimal_band_param
 
         n_bands, _ = optimal_band_param(self.threshold, self.num_perm)
         bits, m = build_bloom(surv_bands, max(n_surv * n_bands, 1))
+        _mark("bloom_build")
         save_bloom(self._batch_dir(batch_id), bits, m)
+        _mark("bloom_save")
         if self.downstream is not None:
             self.downstream(survivors, batch_id)
+        _mark("downstream")
         with open(self._commits, "a") as f:
             f.write(json.dumps({"batch_id": batch_id, "rows": n_surv}) + "\n")
         self._committed().add(batch_id)
@@ -626,6 +643,10 @@ class StreamingFirstWinsDedup:
 
         if self.compact_every and (batch_id + 1) % self.compact_every == 0:
             self.compact(spark)
+        _mark("compact")
+        # per-phase wall telemetry (driver-side): the scaling bench reads
+        # this to attribute the per-batch fixed tail instead of guessing
+        self.last_timings = tm
 
     # -------------------------------------------------------------- compact
 

@@ -21,10 +21,47 @@ import argparse
 import json
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench_scaling import build_zip, cpu_ceiling, run_at
+from bench_scaling import build_zip, bw_ceiling, cpu_ceiling, run_at
+
+
+def steal_jiffies() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:  # noqa: BLE001 - non-linux / unreadable
+        return 0
+
+
+def gated_ceiling(
+    lo: int,
+    hi: int,
+    min_eff: float = 0.78,
+    max_ceiling: float = 1.0,
+    max_tries: int = 12,
+    sleep_s: int = 60,
+) -> tuple[float, int]:
+    """Host gate (r5 VERDICT ask #1): run the pure-CPU calibration probe
+    and DEFER the measurement leg until the probe lands in a sane window
+    — ceiling ≥ ``min_eff`` (the host can express the scaling at all) and
+    ≤ ``max_ceiling`` (a >1.0 reading means the low leg itself was
+    stolen from — the probe is noise). Retries with a sleep between
+    probes; after ``max_tries`` returns the last reading so the caller
+    can record an honestly-gated-but-contended row."""
+    c = 0.0
+    for i in range(max_tries):
+        c = cpu_ceiling(lo, hi)
+        if min_eff <= c <= max_ceiling:
+            return c, i
+        print(
+            json.dumps({"host_gate": "defer", "try": i, "ceiling": c}),
+            flush=True,
+        )
+        time.sleep(sleep_s)
+    return c, max_tries
 
 
 def main() -> None:
@@ -34,6 +71,9 @@ def main() -> None:
     ap.add_argument("--fpts", type=int, nargs="*", default=[4, 16, 32])
     ap.add_argument("--big-turns", type=int, default=0,
                     help="optional extra config: this many turns at fpt=16")
+    ap.add_argument("--gate-min-eff", type=float, default=0.78)
+    ap.add_argument("--gate-tries", type=int, default=12)
+    ap.add_argument("--gate-sleep", type=int, default=60)
     args = ap.parse_args()
     zpath = build_zip()
     lo, hi = args.cores
@@ -42,9 +82,17 @@ def main() -> None:
     if args.big_turns:
         configs.append((args.big_turns, 16))
     for turns, fpt in configs:
-        ceiling = cpu_ceiling(lo, hi)
+        ceiling, tries = gated_ceiling(
+            lo, hi, args.gate_min_eff, 1.0, args.gate_tries, args.gate_sleep
+        )
+        bw = bw_ceiling(lo, hi)
+        st0 = steal_jiffies()
         r_lo = run_at(lo, turns, zpath, "dedup", fpt)
         r_hi = run_at(hi, turns, zpath, "dedup", fpt)
+        steal = steal_jiffies() - st0
+        # same-window confirmation probe: a sane ceiling AFTER the legs
+        # means the window held for the whole measurement
+        ceiling_after = cpu_ceiling(lo, hi)
         eff = round(
             (r_hi["dedup_turns_per_sec"] / r_lo["dedup_turns_per_sec"]) / (hi / lo), 3
         )
@@ -59,16 +107,29 @@ def main() -> None:
             "high_tps": r_hi["dedup_turns_per_sec"],
             "raw_efficiency": eff,
             "ceiling": ceiling,
+            "bw_ceiling": bw,
+            "ceiling_after": ceiling_after,
+            "gate_deferrals": tries,
+            "steal_jiffies": steal,
+            "window_sane": bool(
+                args.gate_min_eff <= ceiling <= 1.0
+                and args.gate_min_eff <= ceiling_after <= 1.0
+            ),
             "vs_ceiling": round(eff / ceiling, 3) if ceiling else None,
+            "vs_bw_ceiling": round(eff / bw, 3) if bw else None,
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
-    print("\n| turns | micro-batches | rows/batch | eff (raw) | host ceiling | eff/ceiling |")
-    print("|---|---|---|---|---|---|")
+    print(
+        "\n| turns | micro-batches | rows/batch | eff (raw) | host ceiling"
+        " (before/after) | eff/ceiling | window sane |"
+    )
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
         print(
             f"| {r['turns']:,} | {r['n_batches']} | {r['rows_per_batch']:,} |"
-            f" {r['raw_efficiency']} | {r['ceiling']} | {r['vs_ceiling']} |"
+            f" {r['raw_efficiency']} | {r['ceiling']} / {r['ceiling_after']} |"
+            f" {r['vs_ceiling']} | {r['window_sane']} |"
         )
 
 

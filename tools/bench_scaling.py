@@ -100,6 +100,47 @@ def _ceiling_work(n: int) -> int:
     return sum(len(_CEIL_PAT.findall(s)) for _ in range(n))
 
 
+def _bw_work(n: int) -> int:
+    """Memory-bandwidth-bound unit: random scatter into a 240 MB bitmap +
+    stream copy + partial sort — the streaming-dedup leg's actual memory
+    profile (Bloom scatter, Arrow transfer, shuffle sort)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    big = np.zeros(30_000_000, dtype=np.uint64)
+    idx = rng.integers(0, len(big), 8_000_000)
+    src = rng.integers(0, 2**63, 8_000_000, dtype=np.uint64)
+    for _ in range(n):
+        big[idx] |= src
+        _ = src.copy()
+        _ = np.sort(src[:2_000_000])
+    return int(big[0])
+
+
+def bw_ceiling(lo: int, hi: int) -> float:
+    """lo→hi scaling this host can deliver for MEMORY-BANDWIDTH-bound
+    work — the relevant ceiling for shuffle/Arrow/scatter-heavy legs
+    (streaming dedup), where ``cpu_ceiling``'s compute-bound regex probe
+    (~0.97 here) badly overstates what DRAM contention allows (~0.5-0.7
+    measured on this host). Best-of-3, like cpu_ceiling."""
+    import time
+    from concurrent.futures import ProcessPoolExecutor
+
+    def bench(workers: int, total: int = 16) -> float:
+        per = max(total // workers, 1)
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_bw_work, [1] * workers))
+            t0 = time.time()
+            list(ex.map(_bw_work, [per] * workers))
+            return time.time() - t0
+
+    effs = []
+    for _ in range(3):
+        t_lo, t_hi = bench(lo), bench(hi)
+        effs.append((t_lo / t_hi) / (hi / lo))
+    return round(max(effs), 3)
+
+
 def cpu_ceiling(lo: int, hi: int) -> float:
     """Pure-CPU N→4N scaling this host can deliver at all (regex work in
     separate processes) — the upper bound for any Spark job here."""

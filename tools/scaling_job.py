@@ -202,10 +202,14 @@ def main() -> None:
             compact_every=8,
         )
 
+        phase_timings: list[dict] = []
+
         def _dedup_batch(bdf, bid):
             dd.process_batch(
                 with_order_rank(bdf, ["ts", "turn_idx", "conv_id"], "__ord"), bid
             )
+            if getattr(dd, "last_timings", None):
+                phase_timings.append(dict(dd.last_timings))
 
         t0 = time.time()
         dq = (
@@ -221,6 +225,7 @@ def main() -> None:
         result["dedup_turns_per_sec"] = round(args.turns / dedup_s, 1)
         result["dedup_rows_kept"] = int(sum(kept))
         result["dedup_n_batches"] = len(kept)
+        result["dedup_phase_timings"] = phase_timings
         shutil.rmtree(ddir, ignore_errors=True)
         shutil.rmtree(ck4, ignore_errors=True)
 
