@@ -3641,6 +3641,57 @@ def _q_vqa_stub(spark, sf):
     return vqa_answer(df)
 
 
+def _q_text2sql_prompt(spark, sf):
+    """Text2SQLPromptGenerator (reference default template, schema DDL
+    joined from a (db_id, ddl) catalog after the reference's db_id
+    sanitization) — synthesized catalog: one DDL per documents.source."""
+    from dataflow_spark.operators.text2sql import text2sql_prompt
+
+    docs = _t(spark, sf, "documents")
+    schemas = (
+        docs.select(F.col("source").alias("db_id"))
+        .distinct()
+        .select(
+            "db_id",
+            F.concat(
+                F.lit("CREATE TABLE "),
+                F.col("db_id"),
+                F.lit(" (id INT, body VARCHAR);"),
+            ).alias("ddl"),
+        )
+    )
+    df = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("what is in document "), F.col("doc_id").cast("string")
+        ).alias("question"),
+        F.col("source").alias("db_id"),
+    )
+    return text2sql_prompt(df, "question", "db_id", schemas).select(
+        "doc_id", "prompt"
+    )
+
+
+def _text2sql_prompt_oracle() -> str:
+    from dataflow_spark.operators.text2sql import PROMPT_TEMPLATE
+
+    tmpl = PROMPT_TEMPLATE.replace("'", "''")
+    return (
+        "WITH sc AS (SELECT DISTINCT source AS db_id,"
+        " 'CREATE TABLE ' || source || ' (id INT, body VARCHAR);' AS ddl"
+        " FROM documents),"
+        " d AS (SELECT doc_id,"
+        " 'what is in document ' || doc_id AS question,"
+        " regexp_replace(regexp_replace(coalesce(source, ''), '\\n', '', 'g'),"
+        " '[^A-Za-z0-9_]', '', 'g') AS db"
+        " FROM documents)"
+        " SELECT d.doc_id,"
+        f" replace(replace('{tmpl}', '{{schema}}', sc.ddl),"
+        " '{question}', d.question) AS prompt"
+        " FROM d LEFT JOIN sc ON sc.db_id = d.db"
+    )
+
+
 # SMILES charset/structure classes, re-spelled for RE2 (the engine spells
 # them once in operators/chemistry.py for Java regex — both forms below
 # are char-identical classes)
@@ -3794,6 +3845,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "smiles_equivalence": _q_smiles_equivalence,
             "speech2text_stub": _q_speech2text_stub,
             "vqa_stub": _q_vqa_stub,
+            "text2sql_prompt": _q_text2sql_prompt,
             "sql_component_classify": _q_sql_component_classify,
             "sql_execution_filter": _q_sql_execution_filter,
             "html_to_markdown_doc": _q_html_to_markdown_doc,
@@ -3915,6 +3967,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_REASONING_ORACLES_ROOT)
     o.update(_MULTIMODAL_ORACLE)
     o.update(_CHEM_ORACLES)
+    o["text2sql_prompt"] = _text2sql_prompt_oracle()
     o.update(_SKETCH_KMV_ORACLE)
     o.update(_RELATIONAL_ORACLES)
     o.update(_EXTRA_ORACLES)

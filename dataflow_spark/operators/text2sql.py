@@ -212,3 +212,50 @@ def sql_execution_match(
                 pass
 
     return df.mapInPandas(probe, schema=out_schema).select(*cols, result_col)
+
+
+PROMPT_TEMPLATE = """Task Overview:
+/* Given the following database schema: */
+{schema}
+/* Answer the following: {question} */
+Let's think step by step"""
+
+
+def text2sql_prompt(
+    df: DataFrame,
+    question_col: str,
+    db_id_col: str,
+    schemas: DataFrame,
+    template: str = PROMPT_TEMPLATE,
+    out_col: str = "prompt",
+) -> DataFrame:
+    """Text2SQLPromptGenerator (reference
+    text2sql/generate/text2sql_prompt_generator.py:13-110): combine each
+    row's question with its database's schema DDL under the reference's
+    default template. Deterministic — the only reference dependency is
+    the DatabaseManager schema fetch, which here is ``schemas``, a
+    ``(db_id, ddl)`` table joined (broadcast — the schema catalog is
+    dims-sized) after the reference's db_id sanitization
+    (``re.sub(r'[^A-Za-z0-9_]', '', db_id)``, :113). Rows whose db_id
+    has no schema get a NULL prompt (the reference raises per item and
+    skips — the driver-side filter is the caller's choice).
+
+    The template is applied via two ``replace`` calls exactly like
+    Python ``str.format`` with these two placeholders (neither value is
+    itself templated)."""
+    clean = F.regexp_replace(
+        F.regexp_replace(F.coalesce(F.col(db_id_col), F.lit("")), r"\n", ""),
+        r"[^A-Za-z0-9_]",
+        "",
+    )
+    joined = df.withColumn("__db", clean).join(
+        F.broadcast(schemas.select(F.col("db_id").alias("__db"), "ddl")),
+        "__db",
+        "left",
+    )
+    prompt = F.replace(
+        F.replace(F.lit(template), F.lit("{schema}"), F.col("ddl")),
+        F.lit("{question}"),
+        F.coalesce(F.col(question_col), F.lit("")),
+    )
+    return joined.withColumn(out_col, prompt).drop("__db", "ddl")

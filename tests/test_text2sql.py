@@ -203,3 +203,35 @@ def test_difficulty_fuzz_duckdb():
     ).df()["d"].tolist()
     for i, s in enumerate(cases):
         assert duck[i] == _hardness_kernel(s), f"case {i}: {s!r}"
+
+
+def test_text2sql_prompt_template_and_sanitization(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.operators.text2sql import PROMPT_TEMPLATE, text2sql_prompt
+
+    schemas = spark.createDataFrame(
+        pd.DataFrame(
+            {"db_id": ["shop_db", "hr"], "ddl": ["CREATE TABLE a (x INT);", "CREATE TABLE b (y INT);"]}
+        )
+    )
+    rows = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "q": ["how many rows", "who is newest"],
+                # 'shop-db!' sanitizes to 'shopdb' (NO schema); 'h\nr' -> 'hr'
+                "db": ["shop-db!", "h\nr"],
+            }
+        )
+    )
+    got = {
+        r["db"]: r["prompt"]
+        for r in text2sql_prompt(rows, "q", "db", schemas).collect()
+    }
+    # unmatched (sanitized-away) db id -> NULL prompt
+    assert got["shop-db!"] is None
+    want = PROMPT_TEMPLATE.replace("{schema}", "CREATE TABLE b (y INT);").replace(
+        "{question}", "who is newest"
+    )
+    assert got["h\nr"] == want
