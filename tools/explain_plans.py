@@ -36,6 +36,14 @@ HEADLINE = [
     "score_trigram_kn",
     "score_token_count_bpe",
     "answer_token_length_filter_bpe",
+    # round 6
+    "score_perplexity_cjk",
+    "classify_source_nb",
+    "extract_smiles",
+    "smiles_equivalence",
+    "speech2text_stub",
+    "vqa_stub",
+    "text2sql_prompt",
 ]
 
 
