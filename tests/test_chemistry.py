@@ -131,3 +131,50 @@ def test_vqa_stub(spark):
     # answer token is the payload digest's head — stable across runs
     again = {r["asset_id"]: r["answer"] for r in vqa_answer(_assets(spark)).collect()}
     assert got == again
+
+
+def test_smiles_validator_fuzz_vs_sequential(spark):
+    """Property fuzz: the Catalyst fold validator must agree with a
+    direct sequential Python transcription of the same subset rules on
+    arbitrary char soup from the SMILES alphabet."""
+    import random
+    import re
+
+    def ref_valid(tok: str) -> bool:
+        if len(tok) < 5:
+            return False
+        if not re.fullmatch(r"[A-Za-z0-9@+\-\[\]()=#$%/\\.:]+", tok):
+            return False
+        if not re.search(r"[()=#\[\]0-9]", tok) or not re.search(
+            r"[BCNOPSFIbcnops]", tok
+        ):
+            return False
+        p = b = 0
+        for ch in tok:
+            if ch == "(":
+                p += 1
+            elif ch == ")":
+                p -= 1
+            elif ch == "[":
+                b += 1
+            elif ch == "]":
+                b -= 1
+            if p < 0 or b < 0 or b > 1:
+                return False
+        if p != 0 or b != 0:
+            return False
+        nobr = re.sub(r"\[[^\]]*\]", "", tok)
+        return all(nobr.count(d) % 2 == 0 for d in "123456789")
+
+    rng = random.Random(42)
+    alphabet = "CCCNNOScco123()[]=#@+-.\\/%$:"
+    toks = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 18)))
+        for _ in range(400)
+    ] + VALID + INVALID
+    df = spark.createDataFrame(pd.DataFrame({"tok": toks})).withColumn(
+        "ok", smiles_structurally_valid("tok")
+    )
+    got = [(r["tok"], r["ok"]) for r in df.collect()]
+    for tok, ok in got:
+        assert ok == ref_valid(tok), f"mismatch on {tok!r}: spark={ok}"

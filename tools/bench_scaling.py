@@ -182,7 +182,7 @@ def main() -> None:
         return round(speedup / (hi / lo), 3)
 
     report = {"low": r_lo, "high": r_hi, "machine_cpu_ceiling_efficiency": ceiling}
-    for leg in ("batch", "stream", "assembly", "assembly_tws", "dedup"):
+    for leg in ("batch", "stream", "assembly", "assembly_tws", "dedup", "scored"):
         if f"{leg}_turns_per_sec" in r_lo:
             report[f"{leg}_scaling_efficiency"] = eff(f"{leg}_turns_per_sec")
             report[f"{leg}_efficiency_vs_ceiling"] = round(
@@ -195,7 +195,12 @@ def main() -> None:
         return  # knob probe / non-baseline confs — don't overwrite BASELINE.md
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # Write the generated report to BASELINE_run.md, NEVER clobbering
+    # BASELINE.md (which accretes per-round analysis sections by hand —
+    # a baseline run in round 6 silently destroyed them once); seed
+    # BASELINE.md from the template only when it does not exist yet.
+    out_path = os.path.join(REPO, "BENCH", "BASELINE_run.md")
+    with open(out_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 

@@ -164,6 +164,47 @@ def main() -> None:
         shutil.rmtree(sink_dir, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
 
+    # ---- scored mode (r6): train-once BPE+LM models, per-batch
+    # perplexity/token-count band filter through the exactly-once sink —
+    # the composed app's stage 5 as its own scaling leg. Training time is
+    # reported separately (a fixed per-run cost that does not scale with
+    # the stream) so the scaling ratio is computed on the streaming part.
+    if "scored" in modes:
+        from dataflow_spark.streaming.app import TranscriptsApp
+
+        sdir = tempfile.mkdtemp(prefix="dfs_scale_scored_")
+        ck5 = tempfile.mkdtemp(prefix="dfs_scale_ck5_")
+        app = TranscriptsApp(src_dir=data_dir, out_dir=sdir)
+        t0 = time.time()
+        app.train_models(spark)
+        train_s = time.time() - t0
+        t0 = time.time()
+        sq = (
+            apply_refiners(
+                file_stream(spark, data_dir, max_files_per_trigger=16),
+                app.refiners,
+            )
+            .writeStream.foreachBatch(
+                lambda bdf, bid: app.scored_sink.foreach_batch(
+                    app.score_df(bdf), bid
+                )
+            )
+            .option("checkpointLocation", ck5)
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        scored_s = time.time() - t0
+        app.release_models()
+        result["scored_train_s"] = round(train_s, 2)
+        result["scored_s"] = round(scored_s, 2)
+        result["scored_turns_per_sec"] = round(args.turns / scored_s, 1)
+        result["scored_rows_kept"] = sum(
+            r["rows"] for r in app.scored_sink.lineage()
+        )
+        shutil.rmtree(sdir, ignore_errors=True)
+        shutil.rmtree(ck5, ignore_errors=True)
+
     # ---- stateful mode: session-window conversation assembly
     if "assembly" in modes:
         ck2 = tempfile.mkdtemp(prefix="dfs_scale_ck2_")
