@@ -1276,6 +1276,25 @@ def _q_score_perplexity_cjk(spark, sf):
     return LM.bigram_perplexity(df, "doc_id")
 
 
+def _q_score_perplexity_thai(spark, sf):
+    """Thai twin of the CJK query (r7 ask #6): translate a-z onto the 26
+    Thai consonants U+0E01..U+0E1A, producing whitespace-free Thai runs
+    that exercise the widened unsegmented-script char-level fallback
+    (lm.CJK_CLASS now spans Thai/Lao/Myanmar/Khmer) in training AND
+    scoring. Synthesis is identical in the DuckDB oracle."""
+    from dataflow_spark.entry_queries import _CJK_LATIN, _CJK_THAI  # self
+
+    df = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.translate(
+            F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60)),
+            _CJK_LATIN,
+            _CJK_THAI,
+        ).alias("text"),
+    )
+    return LM.bigram_perplexity(df, "doc_id")
+
+
 def _q_perplexity_lm_filter(spark, sf):
     df = _t(spark, sf, "documents").select("doc_id", "text")
     return LM.perplexity_filter(
@@ -1310,7 +1329,9 @@ def _q_superfiltering_ifd(spark, sf):
 # RE2 spelling of lm.CJK_CLASS (Java regex uses the literal chars; RE2
 # wants \x{...}): Han + kana blocks whose code points tokenize char-level
 _CJK_SQL = (
-    "[\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}"
+    "[\\x{0e00}-\\x{0e7f}\\x{0e80}-\\x{0eff}"
+    "\\x{1000}-\\x{109f}\\x{1780}-\\x{17ff}"
+    "\\x{3040}-\\x{30ff}\\x{3400}-\\x{4dbf}"
     "\\x{4e00}-\\x{9fff}\\x{f900}-\\x{faff}]"
 )
 
@@ -1654,6 +1675,16 @@ _CJK_SRC_SQL = (
     f" '{_CJK_LATIN}', '{_CJK_HAN}') AS text FROM documents)"
 )
 
+# Thai twin of the Han corpus (r7 ask #6): the 26 consecutive Thai
+# consonants U+0E01..U+0E1A stand in for a-z — same translate()-based
+# deterministic synthesis, exercising the widened Southeast-Asian
+# unsegmented-script fallback end-to-end in both engines.
+_CJK_THAI = "กขฃคฅฆงจฉชซฌญฎฏฐฑฒณดตถทธนบ"
+_THAI_SRC_SQL = (
+    "(SELECT doc_id, translate(lower(substring(coalesce(text, ''), 1, 60)),"
+    f" '{_CJK_LATIN}', '{_CJK_THAI}') AS text FROM documents)"
+)
+
 # interpolated-KN trigram scoring expression shared by the oracle below;
 # op order pinned to operators/lm.py trigram_kn_perplexity: greatest(c−D,0)
 # + (D·n)·p_lower, then ONE divide — bit-identical IEEE sequences
@@ -1756,6 +1787,11 @@ _LM_ORACLES = {
         FROM toks t LEFT JOIN pd ON pd.id = t.id""",
     "score_perplexity_cjk": f"""
         WITH {_lm_ctes(_CJK_SRC_SQL)}
+        SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
+               round(exp(-pd.lps / pd.n), 6) AS ppl
+        FROM toks t LEFT JOIN pd ON pd.id = t.id""",
+    "score_perplexity_thai": f"""
+        WITH {_lm_ctes(_THAI_SRC_SQL)}
         SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
                round(exp(-pd.lps / pd.n), 6) AS ppl
         FROM toks t LEFT JOIN pd ON pd.id = t.id""",
@@ -3699,7 +3735,10 @@ _SM_CHARSET = r"^[A-Za-z0-9@+\-\[\]()=#$%/\\.:]+$"
 _SM_STRUCT = r"[()=#\[\]0-9]"
 _SM_ATOM = "[BCNOPSFIbcnops]"
 # fold replay: chars → {1: '(', 2: ')', 3: '[', 4: ']', 0: other}, state
-# (paren_depth+50)*10000 + (bracket_depth+50)*100 + broken, init 505000
+# (paren_depth+50)*10000 + (bracket_depth+50)*100 + broken, init 505000.
+# Mirrors chemistry._fold_step's freeze-on-violation: the first depth
+# excursion pins acc at the 505001 sentinel, so the accumulator is never
+# negative and // and % here agree with Spark's truncating div/mod.
 _SM_FOLD = """
     list_reduce(
       list_prepend(505000::BIGINT,
@@ -3707,12 +3746,14 @@ _SM_FOLD = """
           c -> (CASE c WHEN '(' THEN 1 WHEN ')' THEN 2
                        WHEN '[' THEN 3 WHEN ']' THEN 4 ELSE 0 END)::BIGINT)),
       (acc, x) ->
-        ((acc // 10000) - 50 + CASE WHEN x = 1 THEN 1 WHEN x = 2 THEN -1 ELSE 0 END + 50) * 10000
-        + (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END + 50) * 100
-        + CASE WHEN ((acc // 10000) - 50 + CASE WHEN x = 1 THEN 1 WHEN x = 2 THEN -1 ELSE 0 END) < 0
-                 OR (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END) < 0
-                 OR (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END) > 1
-               THEN 1 ELSE acc % 100 END)
+        CASE WHEN acc = 505001 THEN acc
+             WHEN ((acc // 10000) - 50 + CASE WHEN x = 1 THEN 1 WHEN x = 2 THEN -1 ELSE 0 END) < 0
+               OR (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END) < 0
+               OR (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END) > 1
+             THEN 505001
+             ELSE ((acc // 10000) - 50 + CASE WHEN x = 1 THEN 1 WHEN x = 2 THEN -1 ELSE 0 END + 50) * 10000
+                  + (((acc % 10000) // 100) - 50 + CASE WHEN x = 3 THEN 1 WHEN x = 4 THEN -1 ELSE 0 END + 50) * 100
+        END)
 """
 
 _SM_PLANT_SQL = (
@@ -3826,6 +3867,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ann_topk_ivf": _q_ann_ivf,
             "score_bigram_perplexity": _q_score_bigram_perplexity,
             "score_perplexity_cjk": _q_score_perplexity_cjk,
+            "score_perplexity_thai": _q_score_perplexity_thai,
             "score_trigram_kn": _q_score_trigram_kn,
             "classify_source_nb": _q_classify_source_nb,
             "perplexity_lm_filter": _q_perplexity_lm_filter,

@@ -359,9 +359,14 @@ def bpe_token_count_udf(merges: list[tuple[str, str]]) -> Column:
     pats = [a + US + b for a, b in merges]
     reps = [a + b for a, b in merges]
     masks = np.array([_char_mask(r) for r in reps], dtype=np.uint64)
+    # in the udf closure, NOT inside count_series: pandas_udf re-invokes
+    # the same function object per Arrow batch within an executor python
+    # worker, so this dict actually survives across batches (a
+    # count_series-local dict would be rebuilt per batch and the Zipf
+    # amortization would never happen — r6 ADVICE item)
+    cache: dict[str, int] = {}
 
     def count_series(texts: pd.Series) -> pd.Series:
-        cache: dict[str, int] = {}
         out = np.zeros(len(texts), dtype=np.int32)
 
         def word_tokens(word: str) -> int:

@@ -44,19 +44,28 @@ MIN_LEN = 5
 
 # Fold-state encoding shared with the SQL oracle: the running value is
 # (paren_depth + 50) * 10_000 + (bracket_depth + 50) * 100 + broken_flag.
-# Depths in web text are far below 50, so fields never collide; "broken"
-# latches at 1 when a close precedes an open or brackets nest.
+# Depths in web text are far below 50, so fields never collide. On the
+# FIRST violation (close before open, bracket nesting, or any depth
+# excursion) the accumulator freezes at the _BROKEN sentinel — it never
+# keeps folding, so the stored value can never go negative and the two
+# engines' integer div/mod (Spark truncates toward zero, DuckDB's // and
+# % floor) only ever see non-negative operands, where they agree
+# (r6 ADVICE: a token with >50 unmatched close-parens used to drive the
+# field negative and the engines could diverge on such degenerate
+# tokens instead of both rejecting identically).
 _INIT = 50 * 10_000 + 50 * 100
+_BROKEN = _INIT + 1  # frozen violation sentinel (depths reset, flag set)
 
 
 def _fold_step(acc: Column, ch: Column) -> Column:
     p = (acc / 10_000).cast("int") - 50
     b = ((acc % 10_000) / 100).cast("int") - 50
-    broken = acc % 100
     p2 = F.when(ch == "(", p + 1).when(ch == ")", p - 1).otherwise(p)
     b2 = F.when(ch == "[", b + 1).when(ch == "]", b - 1).otherwise(b)
-    broken2 = F.when((p2 < 0) | (b2 < 0) | (b2 > 1), F.lit(1)).otherwise(broken)
-    return (p2 + 50) * 10_000 + (b2 + 50) * 100 + broken2
+    step = F.when((p2 < 0) | (b2 < 0) | (b2 > 1), F.lit(_BROKEN)).otherwise(
+        (p2 + 50) * 10_000 + (b2 + 50) * 100
+    )
+    return F.when(acc == _BROKEN, acc).otherwise(step)
 
 
 def smiles_structurally_valid(c: Column | str) -> Column:

@@ -51,16 +51,32 @@ BOS = "<s>"
 # giving deterministic char-level tokens for unsegmented runs while
 # leaving segmented scripts untouched. Identical in Java regex (literal
 # range chars) and RE2 (the oracle spells the same class with \x{...}
-# escapes). Hangul and Thai are NOT included: Korean is space-segmented,
-# and Thai (also unsegmented) is left to a future round — the documented
-# input domain is whitespace-segmented scripts + Han/kana.
-CJK_CLASS = "[\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff]"
+# escapes). Blocks: Thai, Lao, Myanmar, Khmer (r7 ask #6) + Han/kana
+# (r5). Char-level includes combining vowel/tone marks as their own
+# tokens — deterministic and engine-identical; a linguistically-
+# segmenting tokenizer is out of scope (the contract is "no degenerate
+# one-token documents"). Hangul is NOT included: Korean is
+# space-segmented.
+CJK_CLASS = (
+    "[\u0e00-\u0e7f\u0e80-\u0eff\u1000-\u109f\u1780-\u17ff"
+    "\u3040-\u30ff\u3400-\u4dbf\u4e00-\u9fff\uf900-\ufaff]"
+)
 
 
 def segment_unsegmented(c):
     """Space out each unsegmented-script code point so the downstream
-    whitespace tokenization yields char-level tokens for CJK runs."""
-    return F.regexp_replace(c, "(" + CJK_CLASS + ")", " $1 ")
+    whitespace tokenization yields char-level tokens for CJK runs.
+
+    Guarded (r7 ask #4): rows with no unsegmented-script code point skip
+    the capture-group rewrite behind a cheap ``rlike`` pre-test — for an
+    ASCII corpus that is one class-membership scan per row instead of a
+    scan plus a StringBuffer rebuild of every string. Output-identical
+    to the unconditional replace (replacing in a non-matching string is
+    the identity), so the DuckDB oracle twin (entry_queries._seg_sql)
+    stays the plain unconditional regexp_replace."""
+    return F.when(
+        c.rlike(CJK_CLASS), F.regexp_replace(c, "(" + CJK_CLASS + ")", " $1 ")
+    ).otherwise(c)
 
 
 def release_persists(handles) -> None:

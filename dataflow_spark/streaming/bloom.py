@@ -33,6 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 BLOOM_K = 7
+
+# build_bloom flag-array ceiling: above this many filter bits (= flag
+# BYTES per concurrent build task; 2^28 bits → 256 MB of flags, 32 MB
+# packed) the per-task scatter switches to the packed bitwise_or.at
+# path, bounding task memory at m/8 bytes
+_FLAGS_MAX_BITS = 1 << 28
 BLOOM_BITS_PER_KEY = 16  # with k=7 → false-positive rate ~7e-4
 _SIDEYCAR = "_bloom.npz"  # leading '_' → invisible to Spark's file index
 
@@ -105,19 +111,44 @@ def build_bloom(bands: DataFrame, n_keys: int, band_col: str = "band"):
     #   fancy indexing). bitorder='little' makes packbits' bit layout
     #   identical to the (pos >> 6, 1 << (pos & 63)) word convention on
     #   little-endian, so the produced bitmap is bit-for-bit the same.
-    # Memory: m bits → m BYTES of flags per concurrent task (e.g. 30 MB
-    # per 15M keys at 16 bits/key) — partition-lifetime, freed on yield.
+    # Memory: m bits → m BYTES of flags per concurrent task (e.g. 240 MB
+    # per 15M keys at 16 bits/key: 15M × 16 = 240M bits = 240M flag
+    # bytes; the PACKED bitmap is m/8 = 30 MB) — partition-lifetime,
+    # freed on yield. Above _FLAGS_MAX_BITS the build switches to the
+    # packed np.bitwise_or.at path (m/8 bytes per task, ~20× slower
+    # scatter) so many concurrent build tasks on a huge filter can't
+    # blow executor memory; both paths produce bit-identical words.
     um = np.uint64(m)
+    packed = m > _FLAGS_MAX_BITS
 
     def part(batches):
-        flags = np.zeros(m, dtype=bool)
+        if packed:
+            wrds = np.zeros(words, dtype=np.uint64)
+        else:
+            flags = np.zeros(m, dtype=bool)
         for pdf in batches:
             if len(pdf):
                 u1, u2 = _as_u64(pdf["__h1"]), _as_u64(pdf["__h2"])
                 for i in range(BLOOM_K):
-                    flags[((u1 + np.uint64(i) * u2) % um).astype(np.int64)] = True
+                    pos = (u1 + np.uint64(i) * u2) % um
+                    if packed:
+                        np.bitwise_or.at(
+                            wrds,
+                            (pos >> np.uint64(6)).astype(np.int64),
+                            np.uint64(1) << (pos & np.uint64(63)),
+                        )
+                    else:
+                        flags[pos.astype(np.int64)] = True
         yield pd.DataFrame(
-            {"w": [np.packbits(flags, bitorder="little").tobytes()]}
+            {
+                "w": [
+                    (
+                        wrds.tobytes()
+                        if packed
+                        else np.packbits(flags, bitorder="little").tobytes()
+                    )
+                ]
+            }
         )
 
     parts = hdf.mapInPandas(part, schema="w binary").collect()

@@ -55,3 +55,29 @@ def test_sidecar_roundtrip(tmp_path):
     b2, m2 = loaded
     assert m2 == m and np.array_equal(b2, bits)
     assert load_bloom(str(tmp_path / "missing")) is None
+
+
+def test_build_bloom_packed_path_bit_identical(spark, monkeypatch):
+    """Above _FLAGS_MAX_BITS build_bloom scatters into packed words
+    (m/8 bytes per task) instead of a byte-per-bit flags array. The two
+    paths must produce the identical bitmap — force the packed path by
+    dropping the threshold below any real filter size."""
+    import dataflow_spark.streaming.bloom as bloom_mod
+    from dataflow_spark.streaming.bloom import build_bloom
+
+    rows = [(f"band-{i}",) for i in range(400)]
+    bands = spark.createDataFrame(rows, "band string")
+
+    bits_flags, m1 = build_bloom(bands, 400)
+    monkeypatch.setattr(bloom_mod, "_FLAGS_MAX_BITS", 1)
+    bits_packed, m2 = build_bloom(bands, 400)
+
+    assert m1 == m2
+    assert np.array_equal(bits_flags, bits_packed)
+    # and the packed-path filter still has no false negatives
+    from dataflow_spark.streaming.bloom import band_hash_cols
+
+    hdf = bands.select(*band_hash_cols("band")).toPandas()
+    u1 = hdf["__h1"].to_numpy().astype(np.int64).view(np.uint64)
+    u2 = hdf["__h2"].to_numpy().astype(np.int64).view(np.uint64)
+    assert might_contain_vec(bits_packed, m2, u1, u2).all()

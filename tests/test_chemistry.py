@@ -178,3 +178,43 @@ def test_smiles_validator_fuzz_vs_sequential(spark):
     got = [(r["tok"], r["ok"]) for r in df.collect()]
     for tok, ok in got:
         assert ok == ref_valid(tok), f"mismatch on {tok!r}: spark={ok}"
+
+
+def test_fold_freezes_on_deep_violation(spark):
+    """r6 ADVICE item: a token with >50 unmatched close-parens used to
+    drive the packed fold accumulator negative, where Spark's truncating
+    div/mod and DuckDB's flooring // and % are not pinned to agree. The
+    fold now freezes at the 505001 sentinel on the first violation, so
+    the accumulator never goes negative and both engines must reject
+    such degenerate tokens identically."""
+    import duckdb
+
+    from dataflow_spark.entry_queries import _SM_FOLD
+    from dataflow_spark.operators.chemistry import _BROKEN, _INIT, _fold_step
+
+    deep = [
+        ")" * 60 + "C1CC1",            # 60 unmatched closers, then valid tail
+        "C" + ")" * 55 + "CCO",        # closers mid-token
+        "(" * 3 + ")" * 60 + "CCN1",   # recovers past -50 then keeps folding
+        "]" * 52 + "C1CC1",            # bracket-depth excursion
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"tok": deep})).select(
+        "tok",
+        smiles_structurally_valid("tok").alias("ok"),
+        F.aggregate(
+            F.split("tok", ""),
+            F.lit(_INIT),
+            lambda acc, ch: F.when(ch == "", acc).otherwise(_fold_step(acc, ch)),
+        ).alias("fold"),
+    )
+    got = {r["tok"]: (r["ok"], r["fold"]) for r in df.collect()}
+    con = duckdb.connect()
+    for t in deep:
+        duck_fold = con.execute(
+            f"SELECT {_SM_FOLD} FROM (SELECT ? AS tok)", [t]
+        ).fetchone()[0]
+        ok, spark_fold = got[t]
+        assert ok is False, f"degenerate token accepted: {t!r}"
+        assert spark_fold == _BROKEN == duck_fold, (
+            f"fold mismatch on {t!r}: spark={spark_fold} duck={duck_fold}"
+        )
