@@ -141,11 +141,43 @@ def _host_calibration() -> dict:
     }
 
 
+def _gated_calibration() -> dict:
+    """Host gate for the headline bench (r6 VERDICT ask #1, ported from
+    tools/bench_dedup_amortization.gated_ceiling): probe the host FIRST
+    and DEFER the timed run until the 16-way md5 efficiency lands in a
+    sane window — ≥ DFS_BENCH_GATE_MIN_EFF (the host can express
+    parallelism at all) and ≤ 1.02 (a reading >1 means the 1-core probe
+    itself was stolen from — noise). Bounded retries so a driver-invoked
+    bench can't stall: after DFS_BENCH_GATE_TRIES deferrals the run
+    proceeds and the artifact records the contended window honestly.
+    Defer messages go to stderr — stdout stays the one JSON line."""
+    min_eff = float(os.environ.get("DFS_BENCH_GATE_MIN_EFF", "0.78"))
+    tries = int(os.environ.get("DFS_BENCH_GATE_TRIES", "10"))
+    sleep_s = float(os.environ.get("DFS_BENCH_GATE_SLEEP", "45"))
+    deferrals = 0
+    cal = _host_calibration()
+    while deferrals < tries and not (min_eff <= (cal["host_16way_efficiency"] or 0) <= 1.02):
+        deferrals += 1
+        print(
+            json.dumps(
+                {"host_gate": "defer", "try": deferrals,
+                 "efficiency": cal["host_16way_efficiency"]}
+            ),
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(sleep_s)
+        cal = _host_calibration()
+    cal["gate_min_eff"] = min_eff
+    cal["gate_deferrals"] = deferrals
+    return cal
+
+
 def main() -> None:
     from dataflow_spark.entry_queries import build_queries
     from dataflow_spark.session import get_spark
 
-    cal = _host_calibration()
+    cal = _gated_calibration()
 
     spark = get_spark("dataflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -247,8 +279,10 @@ def main() -> None:
 
     # scored streaming leg (r6 ask #6): train-once BPE+LM models, then a
     # per-batch perplexity/token-count band filter through the sink.
-    # Timing includes training — it's the stage's fixed per-run cost
-    # (train on the static corpus, score the whole stream against it).
+    # r7: training (model fit + artifact save under out_dir/models) is
+    # timed SEPARATELY from the score-only stream — on a long-lived
+    # cluster training happens once per corpus while scoring runs
+    # forever, so the steady-state number is the score-only one.
     from dataflow_spark.streaming.app import TranscriptsApp
 
     app_dir = tempfile.mkdtemp(prefix="dfs_bench_scored_")
@@ -256,6 +290,8 @@ def main() -> None:
     app = TranscriptsApp(src_dir=tpath, out_dir=app_dir)
     t0 = time.time()
     app.train_models(spark)
+    timings["scored_train_models"] = round(time.time() - t0, 3)
+    t0 = time.time()
     sq2 = (
         apply_refiners(file_stream(spark, tpath), app.refiners)
         .writeStream.foreachBatch(
@@ -289,6 +325,14 @@ def main() -> None:
     ]
     value_comparable = round(sum(timings[k] for k in comparable if k in timings), 3)
     cal["steal_jiffies_after"] = _steal_jiffies()
+    # same-window confirmation: a sane 16-way reading AFTER the timed
+    # queries means the window held for the whole measurement
+    post = _host_calibration()
+    cal["host_16way_efficiency_after"] = post["host_16way_efficiency"]
+    cal["window_sane"] = bool(
+        cal["gate_min_eff"] <= (cal["host_16way_efficiency"] or 0) <= 1.02
+        and cal["gate_min_eff"] <= (post["host_16way_efficiency"] or 0) <= 1.02
+    )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     print(
         json.dumps(

@@ -16,7 +16,10 @@ queries (shared source directory, independent checkpoints):
    near-duplicates is always the earliest qualifying turn.
 5. **scored**  — model-scored quality band: a BPE tokenizer and a bigram
    LM are TRAINED ONCE on the static (refined) corpus before the stream
-   starts; every micro-batch is then scored against those fixed tables
+   starts, persisted as a plain-data artifact beside the checkpoints
+   (``out_dir/models``), and RELOADED on restart so replayed and new
+   batches always score under the identical model; every micro-batch is
+   then scored against those fixed tables
    (merge table in the plan / count tables broadcast) and kept only
    inside the (perplexity, BPE-token-count) band → exactly-once sink on
    (conv_id, turn_idx). Scoring with fixed tables is a pure per-row
@@ -79,20 +82,71 @@ class TranscriptsApp:
             os.path.join(self.out_dir, "scored"), keys=("conv_id", "turn_idx")
         )
 
+    def _models_dir(self) -> str:
+        return os.path.join(self.out_dir, "models")
+
+    def _corpus_fingerprint(self) -> str:
+        """md5 of the sorted (relative-path, size) listing of src_dir's
+        data files — cheap, deterministic, and enough to tell "the corpus
+        the artifact was trained on" apart from "the corpus now"."""
+        import hashlib
+
+        h = hashlib.md5()
+        for root, _, files in sorted(os.walk(self.src_dir)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, f)
+                rel = os.path.relpath(p, self.src_dir)
+                h.update(f"{rel}:{os.path.getsize(p)};".encode())
+        return h.hexdigest()
+
     def train_models(self, spark: SparkSession):
-        """Train the scored stage's models ONCE on the static (refined)
-        corpus — the same rows the stream will refine — and pin the
-        tables for the stream's life: the BPE merge list rides in the
-        plan (nested-replace codegen at the default 48 merges), the LM
-        count tables are persisted here and broadcast-hinted per batch.
-        Called by start(); idempotent."""
+        """Pin the scored stage's models for the stream's life: the BPE
+        merge list rides in the plan (nested-replace codegen at the
+        default 48 merges), the LM count tables are persisted here and
+        broadcast-hinted per batch. Called by start(); idempotent.
+
+        The trained model is a plain-data ARTIFACT persisted beside the
+        checkpoints (``out_dir/models``: merge list + V in meta.json,
+        bigram counts as parquet) on first training, and RELOADED when
+        present — so a genuine checkpoint restart scores replayed and new
+        batches under the identical model even if new source files have
+        arrived since (the streaming-vs-batch byte-match contract demands
+        it; already-committed rows were scored under the artifact's
+        model). ``models_fingerprint_stale`` is set when the current
+        corpus listing no longer matches the artifact's — retraining is
+        an explicit operator action: delete ``out_dir/models`` (and the
+        scored checkpoint/sink) and restart."""
+        import json
+
         if getattr(self, "_lm_tables", None) is not None:
             return
+        from pyspark.sql import functions as F
+
         from dataflow_spark.operators import lm as LM
         from dataflow_spark.operators.bpe import train_bpe_local
         from dataflow_spark.schemas import TRANSCRIPTS
 
+        meta_path = os.path.join(self._models_dir(), "meta.json")
+        bc_path = os.path.join(self._models_dir(), "bigram_counts.parquet")
         self._lm_persists: list = []
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            self._bpe_table = [tuple(m) for m in meta["merges"]]
+            bc = spark.read.parquet(bc_path).persist()
+            self._lm_persists.append(bc)
+            # cc is a pure derivation of bc (sum over w2 of type counts);
+            # recomputing it from the loaded table keeps the artifact to
+            # one parquet and cannot drift from bc
+            cc = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
+            self._lm_tables = (bc, cc, int(meta["v"]))
+            self.models_loaded_from_artifact = True
+            self.models_fingerprint_stale = (
+                meta.get("corpus_fingerprint") != self._corpus_fingerprint()
+            )
+            return
         # one refiner pass over the corpus, shared by both trainings
         static = apply_refiners(
             spark.read.schema(TRANSCRIPTS).parquet(self.src_dir), self.refiners
@@ -101,6 +155,24 @@ class TranscriptsApp:
         self._bpe_table = train_bpe_local(static, "text", n_merges=self.bpe_merges)
         bc, cc, v = LM.bigram_counts(static, "text", self._lm_persists)
         self._lm_tables = (bc, cc, v)
+        self.models_loaded_from_artifact = False
+        self.models_fingerprint_stale = False
+        # persist the artifact: parquet first, meta.json LAST via atomic
+        # rename — meta.json's presence is the completeness marker
+        os.makedirs(self._models_dir(), exist_ok=True)
+        bc.write.mode("overwrite").parquet(bc_path)
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "merges": [list(m) for m in self._bpe_table],
+                    "v": v,
+                    "n_merges": self.bpe_merges,
+                    "corpus_fingerprint": self._corpus_fingerprint(),
+                },
+                f,
+            )
+        os.replace(tmp, meta_path)
 
     def release_models(self):
         """Unpersist the trained LM tables (mirrors the per-batch

@@ -69,3 +69,50 @@ def test_transcripts_app_end_to_end(spark, tmp_path):
     ):
         lin = sink.lineage()
         assert lin and all("partition_rows" in r for r in lin)
+
+
+def test_scored_models_artifact_roundtrip(spark, tmp_path):
+    """r6 ADVICE #1: the trained models are persisted beside the
+    checkpoints and reloaded on restart, so a checkpoint restart AFTER
+    new source files arrive still scores under the identical model
+    (no silent retrain breaking the streaming-vs-batch contract)."""
+    import shutil
+
+    src = write_transcripts_parquet(str(tmp_path / "src"), n_turns=2000, seed=5, n_files=2)
+    out = str(tmp_path / "out")
+    app1 = TranscriptsApp(src_dir=src, out_dir=out)
+    app1.train_models(spark)
+    assert app1.models_loaded_from_artifact is False
+    assert os.path.exists(os.path.join(out, "models", "meta.json"))
+    twin1 = app1.scored_batch_twin(spark).toPandas()
+    table1 = app1._bpe_table
+    v1 = app1._lm_tables[2]
+    app1.release_models()
+
+    # "restart": a fresh app over the same out_dir reloads the artifact
+    app2 = TranscriptsApp(src_dir=src, out_dir=out)
+    app2.train_models(spark)
+    assert app2.models_loaded_from_artifact is True
+    assert app2.models_fingerprint_stale is False
+    assert app2._bpe_table == table1 and app2._lm_tables[2] == v1
+    key = ["conv_id", "turn_idx"]
+    twin2 = app2.scored_batch_twin(spark).toPandas()
+    assert (
+        twin2.sort_values(key).reset_index(drop=True)
+        .equals(twin1[twin2.columns.tolist()].sort_values(key).reset_index(drop=True))
+    )
+    app2.release_models()
+
+    # new source files arrive, then a restart: the OLD model still loads
+    # (scoring already-committed rows' replays identically) and the drift
+    # is surfaced, not silently retrained over
+    extra = write_transcripts_parquet(str(tmp_path / "extra"), n_turns=500, seed=99, n_files=1)
+    for f in os.listdir(extra):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(extra, f), os.path.join(src, "late_" + f))
+    app3 = TranscriptsApp(src_dir=src, out_dir=out)
+    app3.train_models(spark)
+    assert app3.models_loaded_from_artifact is True
+    assert app3.models_fingerprint_stale is True
+    assert app3._bpe_table == table1
+    app3.release_models()
