@@ -247,6 +247,35 @@ def bloom_mask_udf(bcs):
     return mask
 
 
+def bloom_multimask_udf(bcs):
+    """``array<long>`` variant of ``bloom_mask_udf`` for probing MORE
+    than 63 filters in one pass: filter *j* (counting across the given
+    broadcasts in order) sets bit ``j % 63`` of word ``j // 63``. The
+    over-cap unit probe aggregates ``bit_or`` per word over ONE scan of
+    the batch, so probe cost no longer grows with the number of state
+    sidecars (r6 VERDICT ask #5 — the old 63-unit chunks re-scanned the
+    persisted batch once per chunk)."""
+    n = sum(len(bc.value) for bc in bcs)
+    words = max((n + 62) // 63, 1)
+
+    @F.pandas_udf("array<long>")
+    def mask(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        u1 = _as_u64(h1.to_numpy(dtype=np.int64))
+        u2 = _as_u64(h2.to_numpy(dtype=np.int64))
+        out = np.zeros((words, len(u1)), dtype=np.int64)
+        i = 0
+        for bc in bcs:
+            for raw, m in bc.value:
+                hit = might_contain_vec(
+                    np.frombuffer(raw, dtype=np.uint64), m, u1, u2
+                )
+                out[i // 63] |= hit.astype(np.int64) << np.int64(i % 63)
+                i += 1
+        return pd.Series(list(out.T))
+
+    return mask
+
+
 def any_bloom_filter_udf(spark: SparkSession, blooms):
     """One-shot convenience: broadcast + udf (caller leaks the broadcast —
     long-running streams should use ``make_bloom_broadcast`` +

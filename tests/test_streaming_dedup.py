@@ -376,3 +376,76 @@ def test_restart_with_different_n_buckets_keeps_exactness(spark, tmp_path):
     dup2["rid"] = dup2["rid"] + 3_000_000
     d5.process_batch(spark.createDataFrame(dup2), 5)
     assert len(out) == n_committed
+
+
+def test_probe_job_count_independent_of_unit_count(spark, tmp_path):
+    """r6 VERDICT ask #5: the over-cap probe decides ALL candidate units
+    in ONE aggregation (one scan of the batch) via the array<long>
+    multimask — the old int64 mask re-scanned the persisted batch once
+    per 63-unit chunk. 70 sidecar'd units → exactly one probe collect,
+    and the hit set is exactly the planted units (Blooms at 16 bits/key
+    have ~7e-4 FP — none among 70 probes of disjoint single-key filters)."""
+    import numpy as np
+
+    from dataflow_spark.streaming import bloom as B
+    from dataflow_spark.streaming.dedup import StreamingFirstWinsDedup
+
+    n_units = 70
+    bands = [f"probe-band-{i:03d}" for i in range(n_units)]
+    hpdf = (
+        spark.createDataFrame([(b,) for b in bands], "band string")
+        .select("band", *B.band_hash_cols("band"))
+        .toPandas()
+        .set_index("band")
+        .loc[bands]
+    )
+    u1 = hpdf["__h1"].to_numpy(dtype="int64").view(np.uint64)
+    u2 = hpdf["__h2"].to_numpy(dtype="int64").view(np.uint64)
+
+    units = []
+    for i in range(n_units):
+        udir = str(tmp_path / f"unit_{i:03d}")
+        os.makedirs(udir)
+        m = B.bloom_m_for(1)
+        bits = np.zeros(m // 64, dtype=np.uint64)
+        B.set_bits(bits, m, u1[i : i + 1], u2[i : i + 1])
+        B.save_bloom(udir, bits, m)
+        units.append(udir)
+
+    # the byte cap bounds the chunk's TRANSIENT broadcast, not its unit
+    # count — at the default cap these 70 tiny sidecars are one chunk
+    # (the pre-r7 code still split them 63+7 → two scans)
+    d = StreamingFirstWinsDedup(str(tmp_path / "state"), order_col="rid")
+    # the batch's bands hit only units 5..9
+    probe_src = (
+        spark.createDataFrame([(b,) for b in bands[5:10]], "band string")
+        .select(*B.band_hash_cols("band"))
+        .persist()
+    )
+    probe_src.count()
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _DF
+    except ImportError:
+        from pyspark.sql import DataFrame as _DF
+
+    calls: list[int] = []
+    orig = _DF.collect
+
+    def spy(self):
+        rows = orig(self)
+        calls.append(len(rows))
+        return rows
+
+    read = {"sidecar_bytes_loaded": 0, "probe_broadcast_peak_bytes": 0}
+    _DF.collect = spy
+    try:
+        hits, cand = d._probe_units(spark, probe_src, units, read, False)
+    finally:
+        _DF.collect = orig
+        probe_src.unpersist()
+
+    assert len(calls) == 1, f"expected ONE probe aggregation, saw {len(calls)}"
+    assert calls[0] == 1  # a single Row of mask words + count
+    assert sorted(hits) == sorted(units[5:10])
+    assert cand == 5
