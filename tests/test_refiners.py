@@ -279,3 +279,77 @@ def test_html_to_markdown_fuzz_duckdb():
     ).df()["o"].tolist()
     for i, c in enumerate(cases):
         assert duck[i] == kernel[i], f"case {i}: {c!r}"
+
+
+def _pii_fuzz_cases(seed, n=300):
+    """Seeded strings stitched from PII-shaped and near-miss fragments:
+    exact recognizer hits, boundary-adjacent junk, partial matches, and
+    overlapping shapes (an email inside a URL, digit runs one short/long
+    of a card). ASCII-only on purpose — \\b is ASCII in RE2 and in
+    Java's default regex mode but Unicode-aware in Python re, so the
+    shared input domain for the rule table is ASCII word chars."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [
+        "call me", " at ", "x", "9", "\n", ".", "-", " ", "(", ")", "+",
+        "@", "http://a.b/c?d=1", "https://e.f", "http:/broken",
+        "bob@example.com", "bob@@no.com", "@nouser.com", "bob@nodot",
+        "4111 1111 1111 1111", "4111-1111-1111-1111", "4111111111111111",
+        "411111111111111",  # 15 digits: not a card
+        "123-45-6789", "123-456-789",  # ssn / near-miss
+        "10.0.0.1", "999.999.999.999", "1.2.3", "1.2.3.4.5",
+        "555-123-4567", "(555) 123 4567", "+1 555.123.4567", "555 1234",
+        "word9word", "a1b2c3",
+    ]
+    return [
+        "".join(rng.choice(pool) for _ in range(rng.randrange(0, 12)))
+        for _ in range(n)
+    ]
+
+
+def test_redact_pii_fuzz_spark(spark):
+    """Cross-engine fuzz of the neutral PII rule table
+    (resources/pii_patterns.json): Catalyst regexp_replace chain (Java
+    regex) vs the Python-re pandas kernel on 300 seeded PII-soup strings
+    — a rule edit that parses differently across engines fails here, not
+    in a driver round."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.refiners import REFINERS
+
+    cases = _pii_fuzz_cases(43)
+    kernel = REFINERS["redact_pii"].kernel(pd.Series(cases)).tolist()
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    native = {
+        r.i: r.o
+        for r in df.select(
+            "i", REFINERS["redact_pii"].native(F.col("t")).alias("o")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert native[i] == kernel[i], f"case {i}: {c!r}"
+
+
+def test_redact_pii_fuzz_duckdb():
+    """Same PII-soup fuzz against the DuckDB transcription of the rule
+    table (entry_queries._pii_oracle_expr — the driver-oracle path):
+    RE2 vs Python regex agreement on independently parsed rules."""
+    import duckdb
+    import pandas as pd
+
+    from dataflow_spark.entry_queries import _pii_oracle_expr
+    from dataflow_spark.functions.refiners import REFINERS
+
+    cases = _pii_fuzz_cases(44)
+    kernel = REFINERS["redact_pii"].kernel(pd.Series(cases)).tolist()
+    con = duckdb.connect()
+    con.register("cases_df", pd.DataFrame({"text": cases}))
+    duck = con.execute(
+        f"SELECT {_pii_oracle_expr()} AS o FROM cases_df"
+    ).df()["o"].tolist()
+    for i, c in enumerate(cases):
+        assert duck[i] == kernel[i], f"case {i}: {c!r}"

@@ -44,6 +44,8 @@ HEADLINE = [
     "speech2text_stub",
     "vqa_stub",
     "text2sql_prompt",
+    # round 7
+    "score_perplexity_thai",
 ]
 
 
@@ -71,7 +73,15 @@ def main() -> None:
         )
         print(f"\n## {name}\n")
         print("checks:", {k: v for k, v in checks.items()})
-        print("\n```\n" + explained[:4000] + "\n```")
+        # plan text can contain raw newlines inside SQL string literals
+        # (e.g. the html→markdown "\n\n## " replacement); pad any line
+        # that would look like a markdown heading so `^## ` greps over
+        # this file only ever hit real section headers
+        body = "\n".join(
+            (" " + ln if ln.startswith("#") else ln)
+            for ln in explained[:4000].splitlines()
+        )
+        print("\n```\n" + body + "\n```")
     spark.stop()
 
 
