@@ -386,6 +386,94 @@ _FILTER_ORACLES: dict[str, str] = {
         WHERE regexp_matches(text, '\\S') AND (n <= 3 OR nojs >= 3)""",
 }
 
+# Gopher repetition rules (Rae et al. 2021, table A1) — beyond the
+# reference's filter set; pretraining-pipeline staples. The documents
+# table is single-line, which would make these gates vacuous (metric 0
+# everywhere), so the gate queries run on a PLANTED multi-line derivation
+# (house pattern: the embedding-dedup plants, the SMILES plants): doc
+# text as line 1, its 60-char prefix as line 2, then doc_id-conditioned
+# repeats — %3 repeats the full text line, %4 the prefix line, %5 the
+# whole first paragraph — yielding metric spread on both sides of every
+# threshold. Engine and oracle construct it independently.
+_DUP_PLANT_SQL = """(
+    SELECT doc_id,
+           (t || chr(10) || l2) || chr(10) || chr(10) ||
+           (l3 || chr(10) || l4) || chr(10) || chr(10) || p3 AS text
+    FROM (
+      SELECT doc_id, t, l2,
+             CASE WHEN doc_id % 3 = 0 THEN t
+                  ELSE 'u' || CAST(doc_id AS VARCHAR) END AS l3,
+             CASE WHEN doc_id % 4 = 0 THEN l2
+                  ELSE 'v' || CAST(doc_id AS VARCHAR) END AS l4,
+             CASE WHEN doc_id % 5 = 0 THEN t || chr(10) || l2
+                  ELSE 'w' || CAST(doc_id AS VARCHAR) END AS p3
+      FROM (SELECT doc_id, coalesce(text,'') AS t,
+                   substr(coalesce(text,''), 1, 60) AS l2
+            FROM documents)))"""
+
+_DUP_FILTER_ORACLES: dict[str, str] = {
+    "dup_line_frac": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '\\S')) AS lines
+          FROM {_DUP_PLANT_SQL})
+        SELECT doc_id,
+               round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 9) AS metric
+        FROM m WHERE len(lines) > 0
+          AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) <= 0.30""",
+    "dup_para_frac": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                             l -> regexp_matches(l, '\\S')) AS lines
+          FROM {_DUP_PLANT_SQL})
+        SELECT doc_id,
+               round(1.0 - len(list_distinct(lines)) * 1.0 / len(lines), 9) AS metric
+        FROM m WHERE len(lines) > 0
+          AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) <= 0.30""",
+    "dup_line_char_frac": f"""
+        WITH m AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)),
+                             l -> regexp_matches(l, '\\S')) AS lines
+          FROM {_DUP_PLANT_SQL}),
+        h AS (SELECT doc_id,
+                     list_sum(list_transform(lines, l -> length(l))) AS total,
+                     list_sum(list_transform(list_distinct(lines), l -> length(l))) AS dchars
+              FROM m WHERE len(lines) > 0)
+        SELECT doc_id, round(1.0 - dchars * 1.0 / total, 9) AS metric
+        FROM h WHERE total > 0 AND 1.0 - dchars * 1.0 / total <= 0.20""",
+}
+
+
+def _planted_multiline_docs(spark, sf):
+    """Engine-side twin of _DUP_PLANT_SQL (independent construction)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    l2 = F.substring(t, 1, 60)
+    sid = F.col("doc_id").cast("string")
+    l3 = F.when(F.col("doc_id") % 3 == 0, t).otherwise(F.concat(F.lit("u"), sid))
+    l4 = F.when(F.col("doc_id") % 4 == 0, l2).otherwise(F.concat(F.lit("v"), sid))
+    p3 = F.when(F.col("doc_id") % 5 == 0, F.concat_ws("\n", t, l2)).otherwise(
+        F.concat(F.lit("w"), sid)
+    )
+    ml = F.concat_ws(
+        "\n\n", F.concat_ws("\n", t, l2), F.concat_ws("\n", l3, l4), p3
+    )
+    return d.select("doc_id", ml.alias("text"))
+
+
+def _dup_filter_query(name: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        out = with_filter_columns(_planted_multiline_docs(spark, sf), name)
+        metric = F.round(F.col(f"{name}_metric").cast("double"), 9)
+        return out.filter(F.col(f"{name}_keep")).select(
+            "doc_id", metric.alias("metric")
+        )
+
+    return q
+
 
 # -------------------------------------------------------------------- dedup
 
@@ -3829,6 +3917,90 @@ _CHEM_ORACLES = {
 }
 
 
+# ------------------------------------- decontamination + Gopher top-bigram
+# (r7; beyond the reference's inventory — pretraining-pipeline staples)
+
+
+def _q_decontaminate_ngram(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix-C style word-8-gram
+    overlap; see operators/decontaminate.py for the 100-TB join plan):
+    docs with doc_id %% 17 == 0 act as the deterministic 'benchmark'
+    split; report every other doc sharing >= 1 lowercased 8-gram with it,
+    with its distinct-shared-gram count."""
+    from dataflow_spark.operators.decontaminate import contaminated_docs
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return contaminated_docs(corpus, bench, n=8)
+
+
+def _q_gopher_top_bigram_char(spark, sf):
+    """Gopher repetition rule (Rae et al. 2021 table A1): fraction of
+    non-whitespace characters covered by the most frequent word bigram;
+    keep docs at <= 0.2. Per-doc mode via explode -> partial-agg count ->
+    per-doc window top-1 (ties broken by bigram text) — distributed, no
+    per-row Python."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    d = docs.withColumn("__toks", toks).filter(F.size("__toks") >= 2)
+    bi = F.transform(
+        F.sequence(F.lit(0), F.size("__toks") - 2),
+        lambda i: F.concat_ws(" ", F.slice("__toks", i + 1, 2)),
+    )
+    e = d.select(
+        "doc_id",
+        F.length(F.regexp_replace(F.coalesce("text", F.lit("")), r"\s", "")).alias("__ch"),
+        F.explode(bi).alias("ng"),
+    )
+    cnt = e.groupBy("doc_id", "__ch", "ng").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("ng"))
+    top = cnt.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    frac = F.col("c") * (F.length("ng") - 1) * F.lit(1.0) / F.col("__ch")
+    return (
+        top.filter((F.col("__ch") > 0) & (frac <= 0.2))
+        .select("doc_id", F.round(frac, 9).alias("metric"))
+    )
+
+
+_DECONTAM_ORACLES = {
+    "decontaminate_ngram": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        g AS (SELECT doc_id, array_to_string(t[i:i+7], ' ') AS ng
+              FROM toks, unnest(range(1, len(t)-6)) AS u(i) WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT ng FROM g WHERE doc_id % 17 = 0)
+        SELECT doc_id, count(DISTINCT ng) AS n_shared_ngrams
+        FROM g WHERE doc_id % 17 <> 0 AND ng IN (SELECT ng FROM bench)
+        GROUP BY doc_id""",
+    "gopher_top_bigram_char": """
+        WITH toks AS (
+          SELECT doc_id,
+                 length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) AS ch,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        b AS (SELECT doc_id, ch, t[i] || ' ' || t[i+1] AS ng
+              FROM toks, unnest(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+        cnt AS (SELECT doc_id, ch, ng, count(*) AS c FROM b GROUP BY 1, 2, 3),
+        top AS (SELECT doc_id, ch, ng, c,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY c DESC, ng) AS rn
+                FROM cnt)
+        SELECT doc_id, round(c * (length(ng) - 1) * 1.0 / ch, 9) AS metric
+        FROM top
+        WHERE rn = 1 AND ch > 0 AND c * (length(ng) - 1) * 1.0 / ch <= 0.2""",
+}
+
+
 # ------------------------------------------------------------------ registry
 
 def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3837,6 +4009,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q[f"refine_{name}"] = _refiner_query(name)
     for name in _FILTER_ORACLES:
         q[f"filter_{name}"] = _filter_query(name)
+    for name in _DUP_FILTER_ORACLES:
+        q[f"filter_{name}"] = _dup_filter_query(name)
     q.update(
         {
             "dedup_exact_md5": _q_dedup_exact_md5,
@@ -3847,6 +4021,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_simhash": _q_dedup_simhash,
             "dedup_ngram_chunks": _q_dedup_ngram_chunks,
             "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+            "decontaminate_ngram": _q_decontaminate_ngram,
+            "gopher_top_bigram_char": _q_gopher_top_bigram_char,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "score_ngram": _q_score_ngram,
             "score_token_count": _q_score_token_count,
@@ -3953,6 +4129,8 @@ def build_oracles() -> dict[str, str]:
         o[f"refine_{name}"] = f"SELECT doc_id, {expr} AS text FROM documents"
     for name, sql in _FILTER_ORACLES.items():
         o[f"filter_{name}"] = sql
+    for name, sql in _DUP_FILTER_ORACLES.items():
+        o[f"filter_{name}"] = sql
     o["dedup_exact_md5"] = """
         WITH r AS (
           SELECT doc_id, text,
@@ -4015,6 +4193,7 @@ def build_oracles() -> dict[str, str]:
     o.update(_EXTRA_ORACLES)
     o["pii_filter"] = _pii_filter_oracle()
     o.update(_STATS_ORACLES)
+    o.update(_DECONTAM_ORACLES)
     # no oracle (driver rows-only check): refine_spelling / refine_stem
     # (procedural SymSpell / Porter — canonical-example tests),
     # multimodal_features (synthesized binary input), vendi_score

@@ -501,6 +501,75 @@ def _blocklist(threshold: int = 1) -> TextFilter:
                       f"keep blocklist-word count <= {threshold} (heuristics.py:1503-1574)")
 
 
+def _nonblank_lines(c: Column, sep: str) -> Column:
+    return F.filter(F.split(F.coalesce(c, F.lit("")), sep),
+                    lambda ln: ln.rlike(r"\S"))
+
+
+def _dup_frac_filter(name: str, sep: str, py_sep: str, threshold: float) -> TextFilter:
+    """Gopher-style repetition filter (Rae et al. 2021, table A1): the
+    fraction of non-blank lines/paragraphs that are exact repeats of an
+    earlier one. Beyond the reference's operator set — a large-scale
+    pretraining pipeline staple. Pure Catalyst (split → array_distinct),
+    zero shuffle, whole-row codegen."""
+
+    def native(c):
+        lines = _nonblank_lines(c, sep)
+        n = F.size(lines)
+        m = F.when(n > 0,
+                   F.lit(1.0) - F.size(F.array_distinct(lines)) * F.lit(1.0) / n)
+        return m, m.isNotNull() & (m <= threshold)
+
+    def kernel(s):
+        import re as _re
+
+        pat = _re.compile(py_sep)
+
+        def frac(v: str):
+            lines = [ln for ln in pat.split(v) if ln.strip()]
+            if not lines:
+                return np.nan
+            return 1.0 - len(set(lines)) * 1.0 / len(lines)
+
+        m = s.fillna("").map(frac).astype("float64")
+        return m, m.notna() & (m <= threshold)
+
+    return TextFilter(name, native, kernel, T.DoubleType(),
+                      f"keep duplicate-{name.split('_')[1]} fraction <= {threshold} "
+                      "(Gopher repetition rule; not in the reference)")
+
+
+def _dup_line_char_frac(threshold: float = 0.20) -> TextFilter:
+    """Gopher: fraction of CHARACTERS sitting in repeated lines — repeats
+    of long boilerplate lines weigh more than repeats of short ones."""
+
+    def native(c):
+        lines = _nonblank_lines(c, "\n")
+        total = F.aggregate(lines, F.lit(0), lambda a, x: a + F.length(x))
+        dchars = F.aggregate(F.array_distinct(lines), F.lit(0),
+                             lambda a, x: a + F.length(x))
+        m = F.when(total > 0, F.lit(1.0) - dchars * F.lit(1.0) / total)
+        return m, m.isNotNull() & (m <= threshold)
+
+    def kernel(s):
+        def frac(v: str):
+            lines = [ln for ln in v.split("\n") if ln.strip()]
+            if not lines:
+                return np.nan
+            total = sum(len(ln) for ln in lines)
+            dchars = sum(len(ln) for ln in dict.fromkeys(lines))
+            if total == 0:
+                return np.nan
+            return 1.0 - dchars * 1.0 / total
+
+        m = s.fillna("").map(frac).astype("float64")
+        return m, m.notna() & (m <= threshold)
+
+    return TextFilter("dup_line_char_frac", native, kernel, T.DoubleType(),
+                      f"keep duplicate-line CHAR fraction <= {threshold} "
+                      "(Gopher repetition rule; not in the reference)")
+
+
 FILTERS: dict[str, TextFilter] = {
     f.name: f
     for f in [
@@ -510,6 +579,9 @@ FILTERS: dict[str, TextFilter] = {
         _special_character(), _watermark(), _stop_word(), _curly_bracket(),
         _capital_words(), _lorem_ipsum(), _line_start_bullet(),
         _line_end_ellipsis(), _line_javascript(), _blocklist(),
+        _dup_frac_filter("dup_line_frac", "\n", r"\n", 0.30),
+        _dup_frac_filter("dup_para_frac", r"\n{2,}", r"\n{2,}", 0.30),
+        _dup_line_char_frac(),
     ]
 }
 
