@@ -178,6 +178,7 @@ def main() -> None:
     from dataflow_spark.session import get_spark
 
     cal = _gated_calibration()
+    run_t0 = time.time()  # steal-fraction window: everything after the gate
 
     spark = get_spark("dataflow-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -329,9 +330,25 @@ def main() -> None:
     # queries means the window held for the whole measurement
     post = _host_calibration()
     cal["host_16way_efficiency_after"] = post["host_16way_efficiency"]
+    # The pre/post efficiency probes are POINT measurements — a steal
+    # burst that lands mid-run and ends before the post probe sails
+    # straight through them (observed: a run with ~70 cpu-s of steal and
+    # 6x-inflated short queries read post-eff 0.783 = "sane"). The
+    # run-spanning steal-jiffies delta is the instrument that cannot be
+    # evaded: require total steal < 0.1% of machine capacity over the
+    # measured window as well.
+    import multiprocessing as _mp
+
+    wall_s = max(time.time() - run_t0, 1e-3)
+    steal_d = cal["steal_jiffies_after"] - cal["steal_jiffies_before"]
+    cal["steal_frac_of_capacity"] = round(
+        steal_d / (100.0 * _mp.cpu_count() * wall_s), 6
+    ) if steal_d >= 0 else None
     cal["window_sane"] = bool(
         cal["gate_min_eff"] <= (cal["host_16way_efficiency"] or 0) <= 1.02
         and cal["gate_min_eff"] <= (post["host_16way_efficiency"] or 0) <= 1.02
+        and (cal["steal_frac_of_capacity"] is None
+             or cal["steal_frac_of_capacity"] < 0.001)
     )
     sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0.1)
     print(
