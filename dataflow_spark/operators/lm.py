@@ -36,6 +36,7 @@ no Python on any path.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -204,6 +205,72 @@ def bigram_ppl_with_tables(
     if round_to is not None:
         out = out.withColumn("ppl", F.round("ppl", round_to))
     return out
+
+
+def local_ppl_udf(pair_counts: dict, ctx_counts: dict, v: int, k: int = 1):
+    """Shuffle-free scoring path for MODEL-ARTIFACT-SIZED count tables:
+    an Arrow-batched pandas_udf ``text -> struct<ppl double, n int>``
+    with the whole model pre-folded into log-prob dicts on the driver
+    (known bigram -> its add-k log-prob; known context -> its
+    unseen-bigram log-prob; one constant for unknown contexts), shipped
+    to executors in the serialized udf closure.
+
+    Why it exists: the join plan (``bigram_ppl_with_tables``) explodes
+    the corpus ~n_tokens× and shuffles every term struct into a per-doc
+    ordered fold — on a 100 TB stream that is a petabyte-scale shuffle
+    per micro-batch. When the trained table fits the driver (the scored
+    stage's artifact is vocab-bounded; 12.7k bigrams at sf0.1), scoring
+    is a pure per-row function and the whole stage becomes one narrow
+    Arrow map — zero shuffle, zero join. ``TranscriptsApp.score_df``
+    dispatches on table size; the join plan remains the unbounded-vocab
+    path and the oracled queries keep using it unchanged.
+
+    Exactness: same tokenization as ``tokens_expr`` (lowercase, CJK
+    char-segmentation, ASCII-``\\s`` split — the kernels' ``(?a)\\s+``
+    twin of Java's default regex), same per-term IEEE division of exact
+    integer counts, same in-token-order left fold, so values match the
+    join plan to the last ulp of libm-vs-JVM ``log`` (both stream and
+    batch twins share whichever path dispatch picks, so the byte-match
+    contract never straddles the seam)."""
+    import math
+    import re
+
+    kv = k * v
+    lp = {
+        (w1, w2): math.log((c + k) / (ctx_counts.get(w1, 0) + kv))
+        for (w1, w2), c in pair_counts.items()
+    }
+    lp_ctx = {w1: math.log(k / (ctx + kv)) for w1, ctx in ctx_counts.items()}
+    lp_unk = math.log(k / kv)
+    cjk = re.compile(CJK_CLASS)
+    ws = re.compile(r"(?a)\s+")
+
+    @F.pandas_udf("struct<ppl: double, n: int>")
+    def score(s: pd.Series) -> pd.DataFrame:
+        ppls, ns = [], []
+        for t in s:
+            t = ("" if t is None else t).lower()
+            if cjk.search(t):
+                t = cjk.sub(r" \g<0> ", t)
+            toks = [w for w in ws.split(t) if w]
+            n = len(toks)
+            if n == 0:
+                ppls.append(None)
+                ns.append(0)
+                continue
+            acc = 0.0
+            prev = BOS
+            for w in toks:
+                x = lp.get((prev, w))
+                if x is None:
+                    x = lp_ctx.get(prev, lp_unk)
+                acc += x
+                prev = w
+            ppls.append(math.exp(-acc / n))
+            ns.append(n)
+        return pd.DataFrame({"ppl": ppls, "n": ns})
+
+    return score
 
 
 def _chain_ppl(toks: DataFrame, bc, cc, v: int, k: int, seeded: bool = False) -> DataFrame:

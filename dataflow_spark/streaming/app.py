@@ -146,6 +146,7 @@ class TranscriptsApp:
             self.models_fingerprint_stale = (
                 meta.get("corpus_fingerprint") != self._corpus_fingerprint()
             )
+            self._maybe_build_local_scorer()
             return
         # one refiner pass over the corpus, shared by both trainings
         static = apply_refiners(
@@ -173,6 +174,47 @@ class TranscriptsApp:
                 f,
             )
         os.replace(tmp, meta_path)
+        self._maybe_build_local_scorer()
+
+    # Above this many bigram types the model no longer counts as
+    # driver-sized (closure pickle ~15 MB at the cap) and score_df keeps
+    # the broadcast-join plan. The scored artifact is vocab-bounded by
+    # construction, so real corpora sit far below this at any scale the
+    # stage trains on one machine.
+    LOCAL_SCORE_MAX_BIGRAMS = 200_000
+
+    def _maybe_build_local_scorer(self):
+        """Pre-fold the trained tables into a shuffle-free Arrow scorer
+        (lm.local_ppl_udf) when they are driver-sized; otherwise score_df
+        keeps the explode+join plan. Measured at sf0.1/local[32]: the
+        join plan's score-only stream is ~15.8 s, the local scorer's
+        is benched per-round — see bench stream_scored_transcripts."""
+        from dataflow_spark.operators import lm as LM
+
+        # One Arrow-batched BPE counter for the stream's life (the udf
+        # closure ships the merge table once and its per-word memo cache
+        # survives across micro-batches in each executor worker). Built
+        # here, not per score_df call: a fresh closure per micro-batch
+        # would reship the table and reset the Zipf cache every batch.
+        # Always the Arrow path in the scored stage — the band filter
+        # sits directly on the count column, and predicate pushdown
+        # substitutes a codegen count expression into the Filter node,
+        # evaluating the whole nested-replace chain TWICE (measured at
+        # sf0.1/local[32]: codegen+filter 14.8 s vs Arrow+filter 1.2 s
+        # warm; pushdown cannot cross the ArrowEvalPython node).
+        from dataflow_spark.operators.bpe import bpe_token_count_udf
+
+        self._bpe_counter = bpe_token_count_udf(self._bpe_table)
+        self._local_scorer = None
+        bc, _cc, v = self._lm_tables
+        head = bc.limit(self.LOCAL_SCORE_MAX_BIGRAMS + 1).collect()
+        if len(head) > self.LOCAL_SCORE_MAX_BIGRAMS:
+            return
+        pairs = {(r["w1"], r["w2"]): r["c"] for r in head}
+        ctx: dict = {}
+        for (w1, _w2), c in pairs.items():
+            ctx[w1] = ctx.get(w1, 0) + c  # exact-int derivation of cc
+        self._local_scorer = LM.local_ppl_udf(pairs, ctx, v, k=1)
 
     def release_models(self):
         """Unpersist the trained LM tables (mirrors the per-batch
@@ -191,28 +233,47 @@ class TranscriptsApp:
         from pyspark.sql import functions as F
 
         bc, cc, v = self._lm_tables
-        base = df.withColumn(
-            "__rid", F.concat_ws(":", "conv_id", "turn_idx")
-        )
-        scores = LM.bigram_ppl_with_tables(
-            base, "__rid", bc, cc, v, broadcast=True
-        ).withColumnRenamed("n_tokens", "n_tokens_lm")
         lo, hi = self.bpe_token_band
-        # join strategy for the narrow score table is left to AQE: a
-        # measured F.broadcast hint was SLOWER here (16.7 s vs 13.8 s at
-        # 300k rows, local[32]) because the scores side is itself an
-        # aggregation the broadcast thread must materialize serially
-        return (
-            base.join(scores, "__rid")
-            .withColumn(
-                "n_tokens_bpe", bpe_token_count_auto("text", self._bpe_table)
+        # the long-lived Arrow counter when trained; the codegen/auto
+        # path only for a caller that builds score_df without train_models
+        bpe_count = (
+            self._bpe_counter(F.col("text"))
+            if getattr(self, "_bpe_counter", None) is not None
+            else bpe_token_count_auto("text", self._bpe_table)
+        )
+        if getattr(self, "_local_scorer", None) is not None:
+            # shuffle-free path (r7): model pre-folded into the Arrow
+            # scorer — the stage is one narrow map end to end (no
+            # explode, no join, no __rid key), the plan shape a 100 TB
+            # stream needs. Zero-token rows get ppl NULL exactly like
+            # the join plan's left join, and the band filter drops them
+            # identically.
+            scored = (
+                df.withColumn("__s", self._local_scorer(F.col("text")))
+                .withColumn("n_tokens_lm", F.col("__s.n").cast("int"))
+                .withColumn("ppl", F.round(F.col("__s.ppl"), 6))
+                .drop("__s")
             )
+        else:
+            base = df.withColumn(
+                "__rid", F.concat_ws(":", "conv_id", "turn_idx")
+            )
+            scores = LM.bigram_ppl_with_tables(
+                base, "__rid", bc, cc, v, broadcast=True
+            ).withColumnRenamed("n_tokens", "n_tokens_lm")
+            # join strategy for the narrow score table is left to AQE: a
+            # measured F.broadcast hint was SLOWER here (16.7 s vs 13.8 s
+            # at 300k rows, local[32]) because the scores side is itself
+            # an aggregation the broadcast thread must materialize
+            # serially
+            scored = base.join(scores, "__rid").drop("__rid")
+        return (
+            scored.withColumn("n_tokens_bpe", bpe_count)
             .filter(
                 F.col("ppl").isNotNull()
                 & (F.col("ppl") <= F.lit(self.max_ppl))
                 & F.col("n_tokens_bpe").between(lo, hi)
             )
-            .drop("__rid")
         )
 
     def scored_batch_twin(self, spark: SparkSession):

@@ -116,3 +116,29 @@ def test_scored_models_artifact_roundtrip(spark, tmp_path):
     assert app3.models_fingerprint_stale is True
     assert app3._bpe_table == table1
     app3.release_models()
+
+
+def test_scored_local_scorer_parity_and_dispatch(spark, tmp_path):
+    """r7: score_df dispatches to a shuffle-free pre-folded Arrow scorer
+    (lm.local_ppl_udf) when the trained bigram table is driver-sized.
+    The local path must produce the SAME rows and values (to the shared
+    6-dec rounding) as the explode+broadcast-join plan, and the
+    large-vocab fallback must keep using the join plan."""
+    src = write_transcripts_parquet(str(tmp_path / "src"), n_turns=2000, seed=7, n_files=2)
+    app = TranscriptsApp(src_dir=src, out_dir=str(tmp_path / "out"))
+    app.train_models(spark)
+    assert app._local_scorer is not None  # test vocab is driver-sized
+
+    key = ["conv_id", "turn_idx"]
+    local = app.scored_batch_twin(spark).toPandas().sort_values(key).reset_index(drop=True)
+    app._local_scorer = None  # force the join plan on the same tables
+    join = app.scored_batch_twin(spark).toPandas()
+    join = join[local.columns.tolist()].sort_values(key).reset_index(drop=True)
+    assert len(local) > 0
+    assert local.equals(join)
+
+    # dispatch threshold: a table over the cap keeps the join plan
+    app.LOCAL_SCORE_MAX_BIGRAMS = 1
+    app._maybe_build_local_scorer()
+    assert app._local_scorer is None
+    app.release_models()
