@@ -3968,6 +3968,108 @@ def _q_gopher_top_bigram_char(spark, sf):
     )
 
 
+# ------------------------------------------------------ DSIR (r7; beyond
+# the reference's inventory — hashed-ngram importance resampling,
+# Xie et al. 2023; see operators/dsir.py for the 100-TB plan notes)
+
+_DSIR_BUCKETS = 4096
+
+
+def _q_dsir_logweights(spark, sf):
+    """Per-document DSIR importance log-weight: target = the corpus's
+    English slice, raw = the full corpus; hashed uni+bigram bucket
+    models, add-one smoothing, bucket-ordered FP fold."""
+    from dataflow_spark.operators.dsir import (
+        bucket_log_ratio,
+        dsir_log_weights,
+        hashed_ngram_features,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    feats = hashed_ngram_features(docs, n_buckets=_DSIR_BUCKETS)
+    target = hashed_ngram_features(
+        docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+    w = dsir_log_weights(feats, bucket_log_ratio(target, feats, _DSIR_BUCKETS))
+    return w.select(
+        F.col("id").alias("doc_id"), F.round("logw", 6).alias("logw")
+    )
+
+
+def _q_dsir_select_gumbel(spark, sf):
+    """Gumbel-perturbed top-50 DSIR resample (the paper's
+    sample-without-replacement-∝-w estimator with md5-seeded noise)."""
+    from dataflow_spark.operators.dsir import (
+        bucket_log_ratio,
+        dsir_log_weights,
+        dsir_select,
+        hashed_ngram_features,
+    )
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    feats = hashed_ngram_features(docs, n_buckets=_DSIR_BUCKETS)
+    target = hashed_ngram_features(
+        docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
+    )
+    w = dsir_log_weights(feats, bucket_log_ratio(target, feats, _DSIR_BUCKETS))
+    sel = dsir_select(docs, w, id_col="doc_id", k=50, seed=0, gumbel=True)
+    return sel.select("doc_id", F.round("sel_key", 6).alias("sel_key"))
+
+
+def _dsir_ctes(b: int = _DSIR_BUCKETS) -> str:
+    """Exact replay of the operators/dsir.py pipeline: same tokenizer as
+    the LM family (_tok_sql), same md5-hex bucket device, alpha=1 so
+    every probability is one IEEE division of exact integers, and the
+    per-doc dot product folds in ascending bucket order on both sides
+    (list_sum(list(... ORDER BY bucket)) ↔ F.aggregate over
+    array_sort)."""
+    return f"""
+    toks AS (SELECT doc_id AS id, {_tok_sql("coalesce(text, '')")} AS tk
+             FROM documents),
+    grams AS (SELECT id, u.g
+              FROM toks, unnest(list_concat(tk,
+                     list_transform(range(1, len(tk)),
+                                    i -> tk[i] || ' ' || tk[i + 1]))) AS u(g)),
+    feats AS (SELECT id,
+                     ('0x' || substr(md5(g), 1, 8))::BIGINT % {b} AS bucket,
+                     count(*) AS cnt
+              FROM grams GROUP BY 1, 2),
+    tfe AS (SELECT f.bucket, sum(f.cnt) AS tc
+            FROM feats f JOIN documents d ON d.doc_id = f.id
+            WHERE d.lang = 'en' GROUP BY 1),
+    rfe AS (SELECT bucket, sum(cnt) AS rc FROM feats GROUP BY 1),
+    tot AS (SELECT (SELECT sum(tc) FROM tfe) AS tn,
+                   (SELECT sum(rc) FROM rfe) AS rn),
+    lrs AS (SELECT r.bucket,
+                   ln(CAST(coalesce(t.tc, 0) + 1 AS DOUBLE)
+                      / CAST(tot.tn + {b} AS DOUBLE))
+                 - ln(CAST(r.rc + 1 AS DOUBLE)
+                      / CAST(tot.rn + {b} AS DOUBLE)) AS lr
+            FROM rfe r LEFT JOIN tfe t USING (bucket), tot),
+    terms AS (SELECT f.id, f.bucket, CAST(f.cnt AS DOUBLE) * l.lr AS term
+              FROM feats f JOIN lrs l USING (bucket)),
+    wts AS (SELECT id, list_sum(list(term ORDER BY bucket)) AS logw
+            FROM terms GROUP BY id)
+"""
+
+
+_DSIR_ORACLES = {
+    "dsir_logweights": f"""
+        WITH {_dsir_ctes()}
+        SELECT id AS doc_id, round(logw, 6) AS logw FROM wts""",
+    "dsir_select_gumbel": f"""
+        WITH {_dsir_ctes()},
+        sel AS (SELECT d.doc_id,
+                       wts.logw + -ln(-ln(
+                         (('0x' || substr(md5('0' || chr(31)
+                             || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                         / 4294967296.0)) AS sel_key
+                FROM documents d JOIN wts ON wts.id = d.doc_id)
+        SELECT doc_id, round(sel_key, 6) AS sel_key
+        FROM sel ORDER BY sel_key DESC, doc_id LIMIT 50""",
+}
+
+
 _DECONTAM_ORACLES = {
     "decontaminate_ngram": """
         WITH toks AS (
@@ -4023,6 +4125,8 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
             "decontaminate_ngram": _q_decontaminate_ngram,
             "gopher_top_bigram_char": _q_gopher_top_bigram_char,
+            "dsir_logweights": _q_dsir_logweights,
+            "dsir_select_gumbel": _q_dsir_select_gumbel,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "score_ngram": _q_score_ngram,
             "score_token_count": _q_score_token_count,
@@ -4194,6 +4298,7 @@ def build_oracles() -> dict[str, str]:
     o["pii_filter"] = _pii_filter_oracle()
     o.update(_STATS_ORACLES)
     o.update(_DECONTAM_ORACLES)
+    o.update(_DSIR_ORACLES)
     # no oracle (driver rows-only check): refine_spelling / refine_stem
     # (procedural SymSpell / Porter — canonical-example tests),
     # multimodal_features (synthesized binary input), vendi_score
