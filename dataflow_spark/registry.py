@@ -102,6 +102,15 @@ def _build() -> dict[str, Callable]:
             "select.kcenter": select_diverse,
         }
     )
+    from dataflow_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_select,
+        hashed_ngram_features,
+    )
+
+    reg["select.dsir_topk"] = dsir_select
+    reg["dsir.features"] = hashed_ngram_features
+    reg["dsir.log_weights"] = dsir_log_weights
     from dataflow_spark.operators.text2sql import (
         sql_component_difficulty,
         sql_execution_filter,

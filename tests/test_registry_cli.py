@@ -8,7 +8,8 @@ from dataflow_spark.registry import get_operator, list_operators
 def test_registry_covers_families():
     names = list_operators()
     assert sum(n.startswith("refine.") for n in names) >= 16
-    assert sum(n.startswith("filter.") for n in names) == 22
+    # 22 reference heuristics + the r7 Gopher repetition rules
+    assert sum(n.startswith("filter.") for n in names) >= 25
     assert {"dedup.exact", "dedup.minhash", "retrieve.bm25",
             "ann.bruteforce", "select.kcenter", "split.chars"} <= set(names)
 
