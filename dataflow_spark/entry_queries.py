@@ -3968,6 +3968,116 @@ def _q_gopher_top_bigram_char(spark, sf):
     )
 
 
+# ------------------------------------------- line-level dedup (r7; beyond
+# the reference's inventory — C4/MassiveText/RefinedWeb boilerplate-line
+# removal; see operators/dedup.py dedup_lines_global for the plan notes)
+
+
+def _q_line_dedup_global(spark, sf):
+    """Corpus-wide first-wins exact line dedup. The fixed tables carry
+    single-line texts, so multi-line documents are synthesized
+    deterministically inside the query (replace ' value ' -> newline —
+    identical leftmost-non-overlapping semantics in both engines), which
+    also plants genuine cross-document duplicate lines for the operator
+    to bite on."""
+    from dataflow_spark.operators.dedup import dedup_lines_global
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr("replace(coalesce(text, ''), ' value ', chr(10))").alias("text"),
+    )
+    return dedup_lines_global(docs, "doc_id", "text", min_chars=10)
+
+
+_LINE_DEDUP_ORACLE = {
+    "line_dedup_global": """
+        WITH src AS (SELECT doc_id,
+                            replace(coalesce(text, ''), ' value ', chr(10)) AS text
+                     FROM documents),
+        ls AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM src),
+        lines AS (SELECT doc_id, u.i AS pos, a[u.i] AS line
+                  FROM ls, unnest(range(1, len(a) + 1)) AS u(i)),
+        rk AS (SELECT doc_id, pos, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, pos) AS rn
+               FROM lines WHERE length(line) >= 10),
+        kept AS (SELECT doc_id, pos, line FROM lines WHERE length(line) < 10
+                 UNION ALL
+                 SELECT doc_id, pos, line FROM rk WHERE rn = 1)
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id""",
+}
+
+
+# ------------------------------------- shard packing + domain mixing (r7;
+# beyond the reference's inventory — see operators/packing.py)
+
+_SHARD_BUDGET = 2000
+# ramped shares (src_i ∝ i+1): the fixed tables are perfectly
+# source-balanced, so uniform shares would make every rate 1.0 and the
+# downsample a no-op; the ramp forces rate_i = (i+1)/20
+_MIX_SHARES = {f"src{i}": (i + 1) / 210 for i in range(20)}
+
+
+def _q_pack_token_shards(spark, sf):
+    """Contiguous fixed-token-budget training shards by running token
+    count in doc_id order — the distributed two-pass prefix sum (the
+    single DuckDB window is the oracle; the Spark plan never funnels the
+    corpus through one reducer)."""
+    from dataflow_spark.operators.bpe import estimated_token_count
+    from dataflow_spark.operators.packing import pack_token_shards
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    d = docs.withColumn("n_tok", estimated_token_count("text"))
+    out = pack_token_shards(d, "doc_id", "n_tok", shard_budget=_SHARD_BUDGET)
+    return out.select("doc_id", "n_tok", "cum_tokens", "shard_id")
+
+
+def _q_mixture_sample_sources(spark, sf):
+    """Deterministic domain-mixture downsample to a ramped target mix
+    (share of src_i ∝ i+1) at the largest feasible total — on the
+    balanced fixed tables that is rate_i = (i+1)/20, so the sample
+    thins low-share sources hard and keeps the top source whole."""
+    from dataflow_spark.operators.packing import mixture_sample
+
+    docs = _t(spark, sf, "documents").select("doc_id", "source")
+    return mixture_sample(docs, "source", ["doc_id"], _MIX_SHARES, seed=3).select(
+        "doc_id", "source"
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(_MIX_SHARES.items()))
+
+_PACKING_ORACLES = {
+    "pack_token_shards": f"""
+        WITH d AS (SELECT doc_id,
+                          CAST(ceil(length(coalesce(text, '')) / 4.0) AS INT)
+                            AS n_tok
+                   FROM documents),
+        c AS (SELECT doc_id, n_tok,
+                     sum(n_tok) OVER (ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM d)
+        SELECT doc_id, n_tok, CAST(cum AS BIGINT) AS cum_tokens,
+               CAST(floor((cum - n_tok) / {_SHARD_BUDGET}) AS BIGINT)
+                 AS shard_id
+        FROM c""",
+    "mixture_sample_sources": f"""
+        WITH sh AS (SELECT * FROM (VALUES {_MIX_VALUES}) AS t(source, share)),
+        cn AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        tm AS (SELECT min(n / share) AS t FROM cn JOIN sh USING (source)),
+        rt AS (SELECT cn.source, least(1.0, tm.t * sh.share / cn.n) AS rate
+               FROM cn JOIN sh USING (source), tm)
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rt USING (source)
+        WHERE (('0x' || substr(md5('3' || chr(31)
+                 || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+              / 4294967296.0 < rt.rate""",
+}
+
+
 # ------------------------------------------------------ DSIR (r7; beyond
 # the reference's inventory — hashed-ngram importance resampling,
 # Xie et al. 2023; see operators/dsir.py for the 100-TB plan notes)
@@ -4127,6 +4237,9 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "gopher_top_bigram_char": _q_gopher_top_bigram_char,
             "dsir_logweights": _q_dsir_logweights,
             "dsir_select_gumbel": _q_dsir_select_gumbel,
+            "line_dedup_global": _q_line_dedup_global,
+            "pack_token_shards": _q_pack_token_shards,
+            "mixture_sample_sources": _q_mixture_sample_sources,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "score_ngram": _q_score_ngram,
             "score_token_count": _q_score_token_count,
@@ -4299,6 +4412,8 @@ def build_oracles() -> dict[str, str]:
     o.update(_STATS_ORACLES)
     o.update(_DECONTAM_ORACLES)
     o.update(_DSIR_ORACLES)
+    o.update(_LINE_DEDUP_ORACLE)
+    o.update(_PACKING_ORACLES)
     # no oracle (driver rows-only check): refine_spelling / refine_stem
     # (procedural SymSpell / Porter — canonical-example tests),
     # multimodal_features (synthesized binary input), vendi_score

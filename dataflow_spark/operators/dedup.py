@@ -907,3 +907,68 @@ def dedup_embedding_cosine(
     return first_wins_bucket_claim(
         df, order_col, buckets, payload=payload, prepare=prepare, verify=cos_ok
     )
+
+
+# --------------------------------------------------------------- line dedup
+
+
+def dedup_lines_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 10,
+    newline: str = "\n",
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication, first occurrence wins — the
+    C4 / MassiveText / RefinedWeb pretraining staple: boilerplate lines
+    (nav menus, cookie banners, license footers) repeat across millions
+    of pages and must be removed at line granularity, not document
+    granularity. Lines shorter than ``min_chars`` are exempt (blank
+    lines and short connectives would otherwise all collapse to one
+    global survivor, gutting every document).
+
+    Returns ``(id_col, text_col)`` with each document reassembled from
+    its surviving lines in original order; documents whose every line
+    was a losing duplicate disappear.
+
+    Scale shape: posexplode lines -> per-line ``min(struct(id, pos))``
+    winner aggregation (map-side combinable — the deliberate choice over
+    a rank window, because hot boilerplate lines are exactly the skewed
+    keys a per-key sort window would serialize on) -> one co-partitioned
+    join of occurrences to winners -> per-doc ordered reassembly. Two
+    shuffles on the line key plus one on the doc key; working set per
+    reducer is one line-string per distinct line, never the corpus.
+    First-wins identity is total: (id, pos) orders every occurrence.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(newline), -1)
+        ).alias("pos", "line"),
+    )
+    eligible = F.length("line") >= min_chars
+    winners = (
+        lines.filter(eligible)
+        .groupBy("line")
+        .agg(F.min(F.struct("id", "pos")).alias("w"))
+    )
+    kept = (
+        lines.join(winners, "line", "left")
+        .filter(
+            (~eligible)
+            | ((F.col("w.id") == F.col("id")) & (F.col("w.pos") == F.col("pos")))
+        )
+    )
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                newline,
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("txt")
+        )
+        .select(F.col("id").alias(id_col), F.col("txt").alias(text_col))
+    )

@@ -108,6 +108,7 @@ def _build() -> dict[str, Callable]:
         hashed_ngram_features,
     )
 
+    reg["dedup.lines"] = D.dedup_lines_global
     reg["select.dsir_topk"] = dsir_select
     reg["dsir.features"] = hashed_ngram_features
     reg["dsir.log_weights"] = dsir_log_weights

@@ -1,0 +1,40 @@
+"""Corpus-wide first-wins line dedup (operators/dedup.py
+dedup_lines_global)."""
+
+from dataflow_spark.operators.dedup import dedup_lines_global
+
+
+def _get(df, doc_id):
+    r = [x for x in df.collect() if x.doc_id == doc_id]
+    return r[0].text if r else None
+
+
+def test_line_dedup_first_wins_and_reassembly(spark):
+    boiler = "accept our cookie policy to continue"
+    rows = [
+        (1, f"alpha beta gamma delta\n{boiler}\nunique one here"),
+        (2, f"{boiler}\nsecond doc body line text"),
+        (3, f"third doc body line text\n{boiler}"),
+        (4, boiler),                      # every line loses -> doc dropped
+        (5, "a\n\nb"),                    # short + blank lines exempt
+        (6, None),                        # null -> one empty line, kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines_global(df, min_chars=10)
+    # boilerplate survives only in its first occurrence (doc 1, pos 1)
+    assert _get(out, 1) == rows[0][1]
+    assert _get(out, 2) == "second doc body line text"
+    assert _get(out, 3) == "third doc body line text"
+    assert _get(out, 4) is None          # all lines were losing dups
+    assert _get(out, 5) == "a\n\nb"      # short lines never deduped
+    assert _get(out, 6) == ""
+
+
+def test_line_dedup_within_doc_and_order(spark):
+    rows = [
+        (1, "repeated internal line x\nmiddle filler line y\nrepeated internal line x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_lines_global(df, min_chars=10)
+    # second occurrence inside the SAME doc also loses; order preserved
+    assert _get(out, 1) == "repeated internal line x\nmiddle filler line y"
