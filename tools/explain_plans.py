@@ -46,6 +46,13 @@ HEADLINE = [
     "text2sql_prompt",
     # round 7
     "score_perplexity_thai",
+    "dsir_logweights",
+    "dsir_select_gumbel",
+    "line_dedup_global",
+    "pack_token_shards",
+    "mixture_sample_sources",
+    "gopher_top_bigram_char",
+    "decontaminate_ngram",
 ]
 
 
