@@ -34,6 +34,8 @@ C-double array amortize the same). Kept the measured winner.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -74,12 +76,34 @@ def nb_classify(
     text_col: str = "text",
     round_to: int | None = 6,
     persists: list | None = None,
+    local: str = "auto",
 ) -> DataFrame:
     """(id, pred_label, score) — the model is trained on ``df`` itself
     (labels from ``label_col``), then every row is scored against every
     class and assigned the argmax (ties → smallest label). Token-less
-    documents get the prior-only argmax."""
+    documents get the prior-only argmax.
+
+    ``local="auto"`` (default): when the trained (label, word) table is
+    driver-sized (≤ NB_LOCAL_MAX_WC_ROWS), scoring dispatches to the
+    pre-folded Arrow scorer (``nb_local_scorer``) — one narrow map, no
+    tokens×C explode, no (label, token) shuffle — producing the
+    identical values (the DuckDB oracle pins both paths). ``"never"``
+    keeps the distributed join plan, the unbounded-vocabulary path."""
     wc, cls, v, n_total = nb_train(df, label_col, text_col, persists)
+    if local == "auto":
+        head = wc.limit(NB_LOCAL_MAX_WC_ROWS + 1).collect()
+        if len(head) <= NB_LOCAL_MAX_WC_ROWS:
+            udf = nb_local_scorer(head, cls.collect(), v, n_total)
+            out = df.select(
+                F.col(id_col), udf(F.col(text_col)).alias("__s")
+            ).select(
+                id_col,
+                F.col("__s.pred_label").alias("pred_label"),
+                F.col("__s.score").alias("score"),
+            )
+            if round_to is not None:
+                out = out.withColumn("score", F.round("score", round_to))
+            return out
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )
@@ -136,3 +160,77 @@ def nb_classify(
     if round_to is not None:
         out = out.withColumn("score", F.round("score", round_to))
     return out
+
+
+# Above this many (label, word) count rows the model no longer counts as
+# driver-sized and nb_classify keeps the distributed join plan. Real
+# vocabularies are Zipf-bounded (the table is vocab x C, not corpus), so
+# corpora trained on one machine sit far below this.
+NB_LOCAL_MAX_WC_ROWS = 500_000
+
+
+def nb_local_scorer(wc_rows, cls_rows, v: int, n_total: int):
+    """Shuffle-free scoring path for MODEL-ARTIFACT-SIZED count tables:
+    an Arrow-batched pandas_udf ``text -> struct<pred_label, score>``
+    with the whole model pre-folded into per-word log-prob VECTORS
+    (numpy C-arrays, labels ascending) shipped in the udf closure.
+
+    Why: the join plan explodes every document tokens x C times through
+    a (label, token) shuffle — at 100 TB that is the dominant cost of
+    the suite's most expensive query. When the trained table is
+    driver-sized the whole classifier is a pure per-row function and the
+    stage becomes one narrow Arrow map.
+
+    Exactness vs the join plan, term for term: same tokenizer
+    (lowercase, CJK char-segmentation, ASCII-\\s split), same
+    ``log((c + 1) / (n_tok_label + V))`` IEEE division of exact integer
+    counts, same in-token-order left fold per label (numpy elementwise
+    adds apply each label's additions in the identical sequence), prior
+    added after the fold exactly like ``lpri + coalesce(s, 0.0)``, and
+    argmax ties break to the smallest label (labels sorted ascending,
+    ``argmax`` returns the first maximum). Raw scores are returned; the
+    caller applies the same Spark-side F.round as the join plan (Python
+    ``round`` is banker's — it must NOT round here)."""
+    import math
+    import re
+
+    from dataflow_spark.operators.lm import CJK_CLASS
+
+    labels = sorted(r["label"] for r in cls_rows)
+    li = {lab: i for i, lab in enumerate(labels)}
+    denom = np.zeros(len(labels))
+    lpri = np.zeros(len(labels))
+    for r in cls_rows:
+        i = li[r["label"]]
+        denom[i] = float(r["n_tok"] + v)
+        lpri[i] = math.log(float(r["n_docs"]) / float(n_total))
+    default = np.array([math.log(1.0 / d) for d in denom])
+    vecs: dict = {}
+    for r in wc_rows:
+        w = r["w"]
+        vec = vecs.get(w)
+        if vec is None:
+            vec = vecs[w] = default.copy()
+        i = li[r["label"]]
+        vec[i] = math.log((r["c"] + 1.0) / denom[i])
+    cjk = re.compile(CJK_CLASS)
+    ws = re.compile(r"(?a)\s+")
+
+    @F.pandas_udf("struct<pred_label: string, score: double>")
+    def score(s: pd.Series) -> pd.DataFrame:
+        preds, scores = [], []
+        for t in s:
+            t = ("" if t is None else t).lower()
+            if cjk.search(t):
+                t = cjk.sub(r" \g<0> ", t)
+            acc = np.zeros(len(labels))
+            for w in ws.split(t):
+                if w:
+                    acc += vecs.get(w, default)
+            sc = lpri + acc
+            k = int(np.argmax(sc))
+            preds.append(labels[k])
+            scores.append(float(sc[k]))
+        return pd.DataFrame({"pred_label": preds, "score": scores})
+
+    return score

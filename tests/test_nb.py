@@ -54,12 +54,20 @@ def test_nb_matches_sequential(spark):
 
 
 def test_nb_no_python_in_plan(spark):
+    """The distributed join plan (the unbounded-vocabulary path) stays
+    Python-free; the r7 local path is deliberately ONE ArrowEvalPython
+    narrow map (vectorized, not row-at-a-time) and must agree with the
+    join plan value-for-value — both pinned here."""
     df = spark.createDataFrame(_corpus())
-    plan = (
-        nb_classify(df, "doc_id", "source")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    joined = nb_classify(df, "doc_id", "source", local="never")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+    local = nb_classify(df, "doc_id", "source")  # auto -> local here
+    lplan = local._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in lplan and "Exchange" not in lplan
+    key = ["doc_id"]
+    a = joined.toPandas().sort_values(key).reset_index(drop=True)
+    b = local.toPandas()[a.columns.tolist()].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
