@@ -149,6 +149,30 @@ def bigram_counts(df: DataFrame, text_col: str = "text", persists: list | None =
     return bc, cc, v
 
 
+# Above this many bigram types the trained model no longer counts as
+# driver-sized (closure pickle ~15 MB at the cap) and scoring keeps the
+# explode+join plan. Trained-on-one-corpus vocabularies are Zipf-bounded
+# and sit far below this.
+LOCAL_SCORE_MAX_BIGRAMS = 200_000
+
+
+def build_local_ppl(bc: DataFrame, v: int, k: int = 1, cap: int | None = None):
+    """Collect the bigram count table when it is driver-sized and
+    pre-fold it into the shuffle-free Arrow scorer (``local_ppl_udf``);
+    return None above the cap (callers keep the join plan). The context
+    table is re-derived from the pairs by exact integer summation, so no
+    second collect is needed."""
+    cap = LOCAL_SCORE_MAX_BIGRAMS if cap is None else cap
+    head = bc.limit(cap + 1).collect()
+    if len(head) > cap:
+        return None
+    pairs = {(r["w1"], r["w2"]): r["c"] for r in head}
+    ctx: dict = {}
+    for (w1, _w2), c in pairs.items():
+        ctx[w1] = ctx.get(w1, 0) + c
+    return local_ppl_udf(pairs, ctx, v, k=k)
+
+
 def bigram_perplexity(
     df: DataFrame,
     id_col: str,
@@ -156,16 +180,34 @@ def bigram_perplexity(
     k: int = 1,
     round_to: int | None = 6,
     persists: list | None = None,
+    local: str = "auto",
 ) -> DataFrame:
     """(id, n_tokens, ppl) for every row of ``df`` — the model is trained
     on ``df`` itself. Rows with no tokens get ppl NULL (nothing to score).
 
-    Scale shape: the two count tables shuffle once each; scoring joins the
-    exploded bigrams against them (broadcast when small, shuffle-hash when
-    not — AQE decides), then one groupBy re-packs per-doc terms in token
-    order for the ordered fold. No window over the corpus, no driver data.
-    """
+    Scale shape: the two count tables shuffle once each. Scoring with
+    ``local="auto"`` (default) dispatches to the pre-folded Arrow scorer
+    when the trained table is driver-sized — one narrow map, no explode,
+    no join; the DuckDB oracle pins both paths to the same values. Above
+    the cap (or with ``local="never"``) the join plan runs: exploded
+    bigrams against the count tables (broadcast when small — AQE
+    decides), then one groupBy re-packs per-doc terms in token order for
+    the ordered fold. No window over the corpus, no driver data beyond
+    the vocab-bounded collect."""
     bc, cc, v = bigram_counts(df, text_col, persists)
+    if local == "auto":
+        udf = build_local_ppl(bc, v, k=k)
+        if udf is not None:
+            out = df.select(
+                F.col(id_col), udf(F.col(text_col)).alias("__s")
+            ).select(
+                id_col,
+                F.col("__s.n").cast("int").alias("n_tokens"),
+                F.col("__s.ppl").alias("ppl"),
+            )
+            if round_to is not None:
+                out = out.withColumn("ppl", F.round("ppl", round_to))
+            return out
     return bigram_ppl_with_tables(
         df, id_col, bc, cc, v, text_col=text_col, k=k, round_to=round_to
     )
@@ -384,7 +426,27 @@ def _trigrams(tk):
     )
 
 
-def trigram_kn_tables(df: DataFrame, text_col: str = "text", persists: list | None = None):
+def trigram_type_table(
+    df: DataFrame, text_col: str = "text", persists: list | None = None
+) -> DataFrame:
+    """(w1, w2, w3, c3) — the trigram TYPE table, the single source for
+    every KN count table. Cached (``_track``) so the corpus
+    explode+shuffle runs once, not once per derived count/action (cache
+    size = type count, not corpus size)."""
+    tri = df.select(
+        F.explode(_trigrams(tokens_expr(F.col(text_col)))).alias("t")
+    ).select("t.w1", "t.w2", "t.w3")
+    return _track(
+        tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")), persists
+    )
+
+
+def trigram_kn_tables(
+    df: DataFrame,
+    text_col: str = "text",
+    persists: list | None = None,
+    t3: DataFrame | None = None,
+):
     """All interpolated-Kneser-Ney count tables, derived from ONE trigram
     count table (exact integers; Chen & Goodman formulation):
 
@@ -397,14 +459,10 @@ def trigram_kn_tables(df: DataFrame, text_col: str = "text", persists: list | No
     * ``total2`` = N1+(··) (distinct bigram types), ``u`` = vocabulary.
 
     Shape: one explode + five groupBys over the trigram TYPE table (much
-    smaller than the corpus), all map-side combinable."""
-    tri = df.select(
-        F.explode(_trigrams(tokens_expr(F.col(text_col)))).alias("t")
-    ).select("t.w1", "t.w2", "t.w3")
-    # the trigram TYPE table is the single source for every other table —
-    # cache it so the corpus explode+shuffle runs once, not once per
-    # derived count/action (cache size = type count, not corpus size)
-    t3 = _track(tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3")), persists)
+    smaller than the corpus), all map-side combinable. Pass a prebuilt
+    ``t3`` (the caller's tracked type table) to skip rebuilding it."""
+    if t3 is None:
+        t3 = trigram_type_table(df, text_col, persists)
     ctx3 = t3.groupBy("w1", "w2").agg(
         F.sum("c3").alias("ctx3"), F.count(F.lit(1)).alias("nt3")
     )
@@ -419,6 +477,97 @@ def trigram_kn_tables(df: DataFrame, text_col: str = "text", persists: list | No
     return t3, ctx3, cont2, mid, cont1, total2, u
 
 
+# Cap on trigram TYPE rows for the local KN path (same driver-sized
+# doctrine as LOCAL_SCORE_MAX_BIGRAMS; every KN table derives from the
+# type table by exact integer counting, so one collect carries the model)
+LOCAL_SCORE_MAX_TRIGRAMS = 300_000
+
+
+def kn_local_ppl_udf(t3_rows, discount: float = 0.75):
+    """Shuffle-free interpolated-KN scorer for a DRIVER-SIZED trigram
+    type table: every derived table (ctx3/cont2/mid/cont1/total2/V) is
+    re-counted from the collected rows with exact integer arithmetic —
+    the same derivation the Spark tables perform — and each term
+    replays the join plan's pinned op order term for term
+    (``(max(c−D,0) + (D·n)·p) / ctx`` at each level, log, in-order
+    fold, ``exp(−sum/n)``), so the two paths agree to the shared 6-dec
+    rounding and the DuckDB oracle pins both. Per-trigram log-probs are
+    memoized (pure function of the trigram; Zipf makes distinct
+    trigrams per batch ≪ tokens)."""
+    import math
+    import re
+
+    d = float(discount)
+    c3: dict = {}
+    ctx3: dict = {}
+    cont2: dict = {}
+    for r in t3_rows:
+        key = (r["w1"], r["w2"], r["w3"])
+        c3[key] = r["c3"]
+        s, n = ctx3.get((r["w1"], r["w2"]), (0, 0))
+        ctx3[(r["w1"], r["w2"])] = (s + r["c3"], n + 1)
+        cont2[(r["w2"], r["w3"])] = cont2.get((r["w2"], r["w3"]), 0) + 1
+    mid: dict = {}
+    cont1: dict = {}
+    for (w2, w3), c in cont2.items():
+        s, n = mid.get(w2, (0, 0))
+        mid[w2] = (s + c, n + 1)
+        cont1[w3] = cont1.get(w3, 0) + 1
+    total2 = len(cont2)
+    u = len({k[2] for k in c3})
+    p1_denom = float(total2 + u + 1)
+    cjk = re.compile(CJK_CLASS)
+    ws = re.compile(r"(?a)\s+")
+    lp_cache: dict = {}
+
+    def lp(w1, w2, w3):
+        got = lp_cache.get((w1, w2, w3))
+        if got is not None:
+            return got
+        p = (cont1.get(w3, 0) + 1) / p1_denom
+        m = mid.get(w2)
+        if m is not None and m[0] > 0:
+            p = (
+                max(float(cont2.get((w2, w3), 0)) - d, 0.0)
+                + (d * float(m[1])) * p
+            ) / float(m[0])
+        cx = ctx3.get((w1, w2))
+        if cx is not None and cx[0] > 0:
+            p = (
+                max(float(c3.get((w1, w2, w3), 0)) - d, 0.0)
+                + (d * float(cx[1])) * p
+            ) / float(cx[0])
+        x = math.log(p)
+        if len(lp_cache) > 2_000_000:
+            lp_cache.clear()
+        lp_cache[(w1, w2, w3)] = x
+        return x
+
+    @F.pandas_udf("struct<ppl: double, n: int>")
+    def score(s: pd.Series) -> pd.DataFrame:
+        ppls, ns = [], []
+        for t in s:
+            t = ("" if t is None else t).lower()
+            if cjk.search(t):
+                t = cjk.sub(r" \g<0> ", t)
+            toks = [w for w in ws.split(t) if w]
+            n = len(toks)
+            if n == 0:
+                ppls.append(None)
+                ns.append(0)
+                continue
+            acc = 0.0
+            u1, u2 = BOS, BOS
+            for w in toks:
+                acc += lp(u1, u2, w)
+                u1, u2 = u2, w
+            ppls.append(math.exp(-acc / n))
+            ns.append(n)
+        return pd.DataFrame({"ppl": ppls, "n": ns})
+
+    return score
+
+
 def trigram_kn_perplexity(
     df: DataFrame,
     id_col: str,
@@ -426,6 +575,7 @@ def trigram_kn_perplexity(
     discount: float = 0.75,
     round_to: int | None = 6,
     persists: list | None = None,
+    local: str = "auto",
 ) -> DataFrame:
     """(id, n_tokens, ppl) under interpolated Kneser-Ney trigrams trained
     on ``df`` itself — the KenLM-semantics upgrade of the bigram add-k
@@ -443,8 +593,32 @@ def trigram_kn_perplexity(
     tokens keep positive mass. Every count is an exact integer; the op
     order is pinned (greatest(c−D,0) + (D·n)·p, then one divide), so the
     DuckDB oracle replays bit-identical doubles; per-doc log terms fold
-    in token order exactly like the bigram model."""
-    t3, ctx3, cont2, mid, cont1, total2, u = trigram_kn_tables(df, text_col, persists)
+    in token order exactly like the bigram model.
+
+    ``local="auto"`` (default): when the trigram TYPE table is
+    driver-sized, scoring dispatches to the pre-folded Arrow scorer
+    (``kn_local_ppl_udf``) — every derived table re-counted from one
+    collect, one narrow map, no five-way join — with the oracle pinning
+    both paths. ``"never"`` keeps the join plan (the unbounded-vocab
+    path)."""
+    t3 = trigram_type_table(df, text_col, persists)
+    if local == "auto":
+        head = t3.limit(LOCAL_SCORE_MAX_TRIGRAMS + 1).collect()
+        if len(head) <= LOCAL_SCORE_MAX_TRIGRAMS:
+            udf = kn_local_ppl_udf(head, discount)
+            out = df.select(
+                F.col(id_col), udf(F.col(text_col)).alias("__s")
+            ).select(
+                id_col,
+                F.col("__s.n").cast("int").alias("n_tokens"),
+                F.col("__s.ppl").alias("ppl"),
+            )
+            if round_to is not None:
+                out = out.withColumn("ppl", F.round("ppl", round_to))
+            return out
+    _t3, ctx3, cont2, mid, cont1, total2, u = trigram_kn_tables(
+        df, text_col, persists, t3=t3
+    )
     toks = df.select(
         F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
     )

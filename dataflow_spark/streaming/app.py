@@ -205,16 +205,10 @@ class TranscriptsApp:
         from dataflow_spark.operators.bpe import bpe_token_count_udf
 
         self._bpe_counter = bpe_token_count_udf(self._bpe_table)
-        self._local_scorer = None
         bc, _cc, v = self._lm_tables
-        head = bc.limit(self.LOCAL_SCORE_MAX_BIGRAMS + 1).collect()
-        if len(head) > self.LOCAL_SCORE_MAX_BIGRAMS:
-            return
-        pairs = {(r["w1"], r["w2"]): r["c"] for r in head}
-        ctx: dict = {}
-        for (w1, _w2), c in pairs.items():
-            ctx[w1] = ctx.get(w1, 0) + c  # exact-int derivation of cc
-        self._local_scorer = LM.local_ppl_udf(pairs, ctx, v, k=1)
+        self._local_scorer = LM.build_local_ppl(
+            bc, v, k=1, cap=self.LOCAL_SCORE_MAX_BIGRAMS
+        )
 
     def release_models(self):
         """Unpersist the trained LM tables (mirrors the per-batch

@@ -152,12 +152,23 @@ def test_superfiltering_ifd_deterministic(spark):
 
 
 def test_no_python_in_ppl_plan(spark):
+    """The join plan (the unbounded-vocab path) stays Python-free; the
+    r7 auto-local path is deliberately ONE vectorized ArrowEvalPython
+    map and must agree with the join plan value for value."""
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(4), "text": TEXTS[:4]})
     )
-    plan = bigram_perplexity(df, "doc_id")._jdf.queryExecution().executedPlan().toString()
+    joined = bigram_perplexity(df, "doc_id", local="never")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+    local = bigram_perplexity(df, "doc_id")  # auto -> local at this size
+    lplan = local._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in lplan and "Exchange" not in lplan
+    a = joined.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = local.toPandas()[a.columns.tolist()].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
 
 
 def test_trigram_kn_matches_sequential_reference(spark):
@@ -218,17 +229,21 @@ def test_trigram_kn_orders_real_text_below_shuffled(spark):
 
 
 def test_no_python_in_trigram_kn_plan(spark):
+    """Join plan Python-free; the r7 local KN path is one vectorized
+    ArrowEvalPython map and must agree value for value."""
     from dataflow_spark.operators.lm import trigram_kn_perplexity
 
     df = spark.createDataFrame(
         pd.DataFrame({"doc_id": range(4), "text": TEXTS[:4]})
     )
-    plan = (
-        trigram_kn_perplexity(df, "doc_id")
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    joined = trigram_kn_perplexity(df, "doc_id", local="never")
+    local = trigram_kn_perplexity(df, "doc_id")  # auto -> local here
+    lplan = local._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in lplan and "Exchange" not in lplan
+    a = joined.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = local.toPandas()[a.columns.tolist()].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
 
