@@ -79,3 +79,40 @@ def test_spark_native_equals_kernel_on_hypothesis_corpus(spark):
         b = with_filter_columns(df, name, mode="parity").select("rid", f"{name}_keep").toPandas()
         a, b = a.sort_values("rid"), b.sort_values("rid")
         assert a[f"{name}_keep"].tolist() == b[f"{name}_keep"].tolist(), name
+
+
+def test_local_scorers_equal_join_plans_on_adversarial_corpus(spark):
+    """r7: every trained-model scorer has a pre-folded Arrow local path
+    and a distributed join plan; on an adversarial generated corpus
+    (emoji, CJK runs, controls, URLs, number soup) the two paths must
+    agree to the shared 6-dec rounding for the bigram LM, the KN
+    trigram, and the NB classifier — beyond the fixed sf corpora the
+    oracle gate already pins."""
+    import random
+
+    from dataflow_spark.operators.lm import bigram_perplexity, trigram_kn_perplexity
+    from dataflow_spark.operators.nb import nb_classify
+
+    rnd = random.Random(777)
+    pieces = [" ", "\t", "\n", "…", "😀", "<a>", "http://x.io/a", "WORD", "word",
+              "身体", "安以宇", ":", "...", "1", "$3.50", "naïve", "Ångström"]
+    texts = [
+        "".join(rnd.choice(pieces) for _ in range(rnd.randint(0, 30)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, f"s{i % 3}") for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    ).cache()
+
+    for fn, kw in (
+        (bigram_perplexity, {}),
+        (trigram_kn_perplexity, {}),
+    ):
+        a = fn(df, "doc_id", local="never").toPandas().sort_values("doc_id").reset_index(drop=True)
+        b = fn(df, "doc_id").toPandas()[a.columns.tolist()].sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b), fn.__name__
+
+    a = nb_classify(df, "doc_id", "source", local="never").toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = nb_classify(df, "doc_id", "source").toPandas()[a.columns.tolist()].sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
