@@ -3989,7 +3989,43 @@ def _q_line_dedup_global(spark, sf):
     return dedup_lines_global(docs, "doc_id", "text", min_chars=10)
 
 
+def _q_dedup_substrings(spark, sf):
+    """Corpus-wide exact-substring dedup (Lee et al. 2021 ExactSubstr on
+    whitespace tokens, k=20): every non-first occurrence of a repeated
+    20-token run is cut from its document; survivors re-join
+    token-normalized."""
+    from dataflow_spark.operators.dedup import dedup_substrings_global
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return dedup_substrings_global(docs, "doc_id", "text", k=20)
+
+
+_SUBSTR_K = 20
+
 _LINE_DEDUP_ORACLE = {
+    "dedup_substrings_global": f"""
+        WITH toks AS (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 coalesce(text, ''), '\\s+'), x -> x <> '') AS t
+                      FROM documents),
+        tok AS (SELECT doc_id, u.i - 1 AS p, t[u.i] AS w
+                FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        grams AS (SELECT doc_id, u.s - 1 AS s,
+                         array_to_string(t[u.s:u.s + {_SUBSTR_K} - 1], ' ') AS g
+                  FROM toks, unnest(range(1, len(t) - {_SUBSTR_K} + 2)) AS u(s)
+                  WHERE len(t) >= {_SUBSTR_K}),
+        rk AS (SELECT doc_id, s, row_number() OVER (PARTITION BY g
+                                                    ORDER BY doc_id, s) AS rn
+               FROM grams),
+        covered AS (SELECT DISTINCT doc_id, u.p
+                    FROM rk, unnest(range(s, s + {_SUBSTR_K})) AS u(p)
+                    WHERE rn > 1),
+        kept AS (SELECT tok.doc_id, tok.p, tok.w
+                 FROM tok LEFT JOIN covered
+                   ON covered.doc_id = tok.doc_id AND covered.p = tok.p
+                 WHERE covered.p IS NULL)
+        SELECT doc_id, string_agg(w, ' ' ORDER BY p) AS text
+        FROM kept GROUP BY doc_id""",
     "line_dedup_global": """
         WITH src AS (SELECT doc_id,
                             replace(coalesce(text, ''), ' value ', chr(10)) AS text
@@ -4238,6 +4274,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsir_logweights": _q_dsir_logweights,
             "dsir_select_gumbel": _q_dsir_select_gumbel,
             "line_dedup_global": _q_line_dedup_global,
+            "dedup_substrings_global": _q_dedup_substrings,
             "pack_token_shards": _q_pack_token_shards,
             "mixture_sample_sources": _q_mixture_sample_sources,
             "dedup_embedding_cosine": _q_dedup_embedding,

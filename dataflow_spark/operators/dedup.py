@@ -972,3 +972,88 @@ def dedup_lines_global(
         )
         .select(F.col("id").alias(id_col), F.col("txt").alias(text_col))
     )
+
+
+# --------------------------------------------------------- substring dedup
+
+
+def dedup_substrings_global(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus-wide EXACT-SUBSTRING deduplication (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): any run
+    of ``k`` tokens that occurs more than once in the corpus survives
+    only at its FIRST occurrence — every later occurrence's tokens are
+    removed from their documents (the published ExactSubstr rule, on
+    whitespace tokens instead of a suffix array). Case-sensitive, raw
+    tokens: dedup must not conflate case variants.
+
+    Output is ``(id_col, text_col)`` with surviving tokens re-joined by
+    single spaces in original order (token-normalized text — the
+    standard output of ExactSubstr implementations, which operate on the
+    token stream); documents whose every token was covered disappear,
+    and documents with fewer than ``k`` tokens pass through
+    token-normalized but uncut.
+
+    Scale shape (the suffix array is the single-node way; this is the
+    Spark way): one k-gram explode -> combinable ``min(struct(id, s))``
+    winner per gram string -> losing occurrences explode to at most
+    k x (duplicated-instance count) covered positions -> one anti-join
+    of the token stream against covered positions -> per-doc ordered
+    reassembly. Every shuffle key is a gram string or (id, pos); the
+    blow-up is bounded by the DUPLICATED volume, not the corpus. At
+    100 TB you would key grams by a 128-bit hash instead of the string
+    (same plan, smaller shuffle); the string key keeps the oracle exact
+    here.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("p", "w"),
+    )
+    tarr = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: x != F.lit(""),
+        ).alias("t"),
+    )
+    grams = tarr.filter(F.size("t") >= k).select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(t) - {k}),"
+                f" s -> array_join(slice(t, s + 1, {k}), ' '))"
+            )
+        ).alias("s", "g"),
+    )
+    win = grams.groupBy("g").agg(F.min(F.struct("id", "s")).alias("w"))
+    losing = (
+        grams.join(win, "g")
+        .filter((F.col("w.id") != F.col("id")) | (F.col("w.s") != F.col("s")))
+        .select("id", "s")
+    )
+    covered = losing.select(
+        "id", F.explode(F.sequence(F.col("s"), F.col("s") + F.lit(k - 1))).alias("p")
+    ).distinct()
+    kept = toks.join(covered, ["id", "p"], "left_anti")
+    return (
+        kept.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda x: x["w"],
+                ),
+            ).alias("txt")
+        )
+        .select(F.col("id").alias(id_col), F.col("txt").alias(text_col))
+    )

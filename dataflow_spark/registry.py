@@ -109,6 +109,7 @@ def _build() -> dict[str, Callable]:
     )
 
     reg["dedup.lines"] = D.dedup_lines_global
+    reg["dedup.substrings"] = D.dedup_substrings_global
     reg["select.dsir_topk"] = dsir_select
     reg["dsir.features"] = hashed_ngram_features
     reg["dsir.log_weights"] = dsir_log_weights

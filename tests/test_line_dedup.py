@@ -38,3 +38,38 @@ def test_line_dedup_within_doc_and_order(spark):
     out = dedup_lines_global(df, min_chars=10)
     # second occurrence inside the SAME doc also loses; order preserved
     assert _get(out, 1) == "repeated internal line x\nmiddle filler line y"
+
+
+def test_substring_dedup_first_wins(spark):
+    from dataflow_spark.operators.dedup import dedup_substrings_global
+
+    run = "a b c d e"  # k=5 run shared verbatim
+    rows = [
+        (1, f"x1 x2 {run} y1 y2"),        # first occurrence -> intact
+        (2, f"p1 {run} q1"),              # later -> run cut
+        (3, run),                          # fully covered -> doc dropped
+        (4, "a b c d"),                    # < k tokens -> uncut
+        (5, None),                         # null -> no tokens -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedup_substrings_global(df, k=5).collect()}
+    assert out[1] == f"x1 x2 {run} y1 y2"
+    assert out[2] == "p1 q1"
+    assert 3 not in out
+    assert out[4] == "a b c d"
+    assert 5 not in out
+
+
+def test_substring_dedup_overlapping_runs(spark):
+    from dataflow_spark.operators.dedup import dedup_substrings_global
+
+    # doc 2 repeats a 6-token run: BOTH its k=5 windows lose, covering
+    # all 6 positions of the run
+    rows = [
+        (1, "t1 t2 t3 t4 t5 t6"),
+        (2, "u1 t1 t2 t3 t4 t5 t6 u2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in dedup_substrings_global(df, k=5).collect()}
+    assert out[1] == "t1 t2 t3 t4 t5 t6"
+    assert out[2] == "u1 u2"
