@@ -49,6 +49,7 @@ HEADLINE = [
     "dsir_logweights",
     "dsir_select_gumbel",
     "line_dedup_global",
+    "dedup_substrings_global",
     "pack_token_shards",
     "mixture_sample_sources",
     "gopher_top_bigram_char",
