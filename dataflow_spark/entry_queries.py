@@ -1390,6 +1390,16 @@ def _q_perplexity_lm_filter(spark, sf):
     ).select("doc_id", "text")
 
 
+def _q_ccnet_ppl_buckets(spark, sf):
+    """CCNet's head/middle/tail per-language perplexity split
+    (lm.ppl_buckets — Wenzek 2020 §4.4; the reference consumes the
+    buckets through its KenLM scorer, Kenlm/model.py:23-120). Cutoffs
+    come from a deterministic md5-Bernoulli sample so the corpus side is
+    a broadcast join + two comparisons — no per-language global window."""
+    df = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    return LM.ppl_buckets(df, "doc_id", lang_col="lang")
+
+
 # threshold chosen to split the synthetic corpus non-trivially (both kept
 # and dropped rows exist at every sf), mirroring PerplexityFilter's
 # min<=ppl<=max band semantics
@@ -1888,6 +1898,34 @@ _LM_ORACLES = {
         SELECT d.doc_id, d.text
         FROM documents d JOIN pd ON pd.id = d.doc_id
         WHERE round(exp(-pd.lps / pd.n), 6) BETWEEN 0.0 AND {_PPL_MAX}""",
+    # ccnet_ppl_buckets: sample-derived per-language order-statistic
+    # cutoffs (rank-based on round-6 doubles — no interpolation, no FP
+    # drift), then two comparisons per doc. The md5-uniform draw is the
+    # exact twin of sampling._md5_u01 with seed 20.
+    "ccnet_ppl_buckets": f"""
+        WITH {_LM_ORACLE_CTES},
+        j AS (SELECT t.id AS doc_id, d.lang,
+                     round(exp(-pd.lps / pd.n), 6) AS ppl
+              FROM toks t JOIN pd ON pd.id = t.id
+                   JOIN documents d ON d.doc_id = t.id),
+        samp AS (SELECT * FROM j
+                 WHERE (('0x' || substr(md5('20' || chr(31) ||
+                        coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT
+                        / 4294967296.0) < 0.5),
+        ranked AS (SELECT lang, ppl,
+                          row_number() OVER (PARTITION BY lang
+                              ORDER BY ppl ASC, doc_id ASC) AS rn,
+                          count(*) OVER (PARTITION BY lang) AS n
+                   FROM samp),
+        cuts AS (SELECT lang,
+                        max(CASE WHEN rn <= ceil(n / 3.0) THEN ppl END) AS c1,
+                        max(CASE WHEN rn <= ceil(2.0 * n / 3.0) THEN ppl END) AS c2
+                 FROM ranked GROUP BY lang)
+        SELECT j.doc_id, j.lang, j.ppl,
+               CASE WHEN c.c1 IS NULL OR j.ppl <= c.c1 THEN 'head'
+                    WHEN j.ppl <= c.c2 THEN 'middle'
+                    ELSE 'tail' END AS ppl_bucket
+        FROM j LEFT JOIN cuts c ON c.lang = j.lang""",
 }
 
 
@@ -4298,6 +4336,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "score_bigram_perplexity": _q_score_bigram_perplexity,
             "score_perplexity_cjk": _q_score_perplexity_cjk,
             "score_perplexity_thai": _q_score_perplexity_thai,
+            "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
             "score_trigram_kn": _q_score_trigram_kn,
             "classify_source_nb": _q_classify_source_nb,
             "perplexity_lm_filter": _q_perplexity_lm_filter,

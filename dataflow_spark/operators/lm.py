@@ -39,6 +39,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 TOKEN_SPLIT = "\\s+"
 BOS = "<s>"
@@ -694,4 +695,73 @@ def perplexity_filter(
         df.join(ppl.select(id_col, "ppl"), id_col)
         .filter(F.col("ppl").between(min_score, max_score))
         .drop("ppl")
+    )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    sample_fraction: float = 0.5,
+    seed: int = 20,
+    k: int = 1,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (Wenzek 2020 §4.4; the
+    reference consumes the resulting buckets via its KenLM-backed
+    PerplexityScorer, Kenlm/model.py:23-120): rank each language's
+    documents by corpus-LM perplexity and label the best-scoring third
+    ``head``, then ``middle``, then ``tail``.
+
+    CCNet computes the per-language percentile CUTOFFS offline from a
+    sample, then streams the corpus through two comparisons — and that is
+    the only shape that survives 100 TB: an ``ntile`` over
+    ``partition by lang`` would drag every document of a language through
+    one reducer. Here the cutoffs come from a deterministic md5-Bernoulli
+    sample (``sample_hash_fraction`` — retry/layout-stable and
+    SQL-replayable): within the sample, c1 = the largest ppl among the
+    lowest ceil(n/3) rows and c2 = among the lowest ceil(2n/3), per
+    language (rank-based order statistics on round-6 values — no
+    interpolation, so no FP drift between engines). The rank window runs
+    over the SAMPLE only (driver-bounded by construction); the corpus
+    side is one broadcast join plus two comparisons. Bucket sizes are
+    therefore approximately equal thirds — the CCNet contract — rather
+    than exactly equal. Token-less rows carry no perplexity and are
+    dropped (as in perplexity_filter); a language absent from the sample
+    defaults its rows to ``head`` (no evidence to cut).
+    """
+    from dataflow_spark.operators.sampling import _md5_u01
+
+    scored = bigram_perplexity(df.select(id_col, text_col), id_col, text_col, k=k)
+    j = (
+        scored.filter(F.col("n_tokens") >= 1)
+        .select(id_col, "ppl")
+        .join(df.select(id_col, lang_col), id_col)
+    )
+    samp = j.filter(_md5_u01([id_col], seed) < F.lit(float(sample_fraction)))
+    w = Window.partitionBy(lang_col).orderBy(F.asc("ppl"), F.asc(id_col))
+    ranked = samp.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy(lang_col))
+    )
+    cuts = ranked.groupBy(lang_col).agg(
+        F.max(
+            F.when(F.col("rn") <= F.ceil(F.col("n") / F.lit(3.0)), F.col("ppl"))
+        ).alias("c1"),
+        F.max(
+            F.when(
+                F.col("rn") <= F.ceil(F.lit(2.0) * F.col("n") / F.lit(3.0)),
+                F.col("ppl"),
+            )
+        ).alias("c2"),
+    )
+    return j.join(F.broadcast(cuts), lang_col, "left").select(
+        id_col,
+        lang_col,
+        "ppl",
+        F.when(
+            F.col("c1").isNull() | (F.col("ppl") <= F.col("c1")), F.lit("head")
+        )
+        .when(F.col("ppl") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
     )

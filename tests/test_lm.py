@@ -283,3 +283,49 @@ def test_bigram_ppl_cjk_char_fallback(spark):
         for r in bigram_perplexity(df, "doc_id").collect()
     }
     assert again == got
+
+
+def test_ppl_buckets_ccnet_split(spark):
+    """Per-language head/middle/tail: buckets cover roughly equal thirds,
+    head always scores <= tail within a language, the labeling is a pure
+    function of the data (partition-layout invariant), and token-less
+    docs are dropped."""
+    from dataflow_spark.operators.lm import ppl_buckets
+
+    rng = [
+        (
+            i,
+            "common words "
+            + " ".join(f"tok{(i * p) % (13 + p)}" for p in (3, 5, 7, 11))
+            + (" rare%d" % i if i % 4 == 0 else ""),
+            ["en", "fr"][i % 2],
+        )
+        for i in range(120)
+    ]
+    rng.append((998, "", "en"))
+    rng.append((999, "   ", "fr"))
+    df = spark.createDataFrame(rng, ["doc_id", "text", "lang"])
+
+    out = ppl_buckets(df, "doc_id").collect()
+    ids = {r["doc_id"] for r in out}
+    assert 998 not in ids and 999 not in ids and len(ids) == 120
+
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        shares = {b: 0 for b in ("head", "middle", "tail")}
+        for r in rows:
+            shares[r["ppl_bucket"]] += 1
+        n = len(rows)
+        # sample-derived cutoffs: approximate thirds, not exact
+        for b, c in shares.items():
+            assert c >= n * 0.15, (lang, b, shares)
+        hmax = max(r["ppl"] for r in rows if r["ppl_bucket"] == "head")
+        tmin = min(r["ppl"] for r in rows if r["ppl_bucket"] == "tail")
+        assert hmax <= tmin
+
+    re_out = ppl_buckets(df.repartition(13), "doc_id").collect()
+    assert sorted((r["doc_id"], r["ppl_bucket"]) for r in re_out) == sorted(
+        (r["doc_id"], r["ppl_bucket"]) for r in out
+    )
