@@ -650,6 +650,30 @@ def _q_dedup_embedding(spark, sf):
     return D.dedup_embedding_cosine(aug, "vec_id", threshold=0.97, dim=64).select("vec_id")
 
 
+def _q_dedup_semdedup(spark, sf):
+    """SemDeDup (similarity.semdedup_kmeans): k-means-clustered embedding
+    near-dedup, clusters from the deterministic integer Lloyd trainer.
+    The corpus plants exact clones (must all drop) and first-coordinate
+    x3 perturbed clones (a mix of outcomes) — see _SEMDEDUP_SRC."""
+    df = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = df.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    pert = df.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == F.lit(0), x * F.lit(3.0)).otherwise(x),
+        ).alias("embedding"),
+    )
+    aug = df.unionByName(exact).unionByName(pert)
+    return SIM.semdedup_kmeans(aug, threshold=0.95, train_fraction=0.5).select(
+        "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
 # ---------------------------------------------- near-dup dedup DuckDB oracles
 #
 # Every near-dup family resolves first-wins over a *verified candidate edge*
@@ -1929,31 +1953,32 @@ _LM_ORACLES = {
 }
 
 
-def _ivf_oracle(
-    k: int = 5,
-    n_centroids: int = 8,
-    iters: int = 2,
-    n_probe: int = 2,
-    scale: int = 10_000,
-    dim: int = 64,
-    train_fraction: float | None = None,
-) -> str:
-    """Exact replay of ann_topk_ivf (operators/similarity.py): the
-    micro-unit quantization makes every Lloyd-iteration intermediate an
-    exact integer (element-wise BIGINT sums are order-independent) and
-    every score two IEEE ops on exact integers (< 2^53, so HUGEINT→DOUBLE
-    is lossless) — the full k-means train loop unrolls into CTEs and the
-    whole approximate-ANN pipeline gets an exact oracle, ties included."""
+def _lloyd_parts(
+    n_centroids: int,
+    iters: int,
+    scale: int,
+    dim: int,
+    train_fraction: float | None,
+    sample_seed: str = "ivf",
+    src: str = "embeddings",
+):
+    """Shared CTE prefix for the deterministic integer Lloyd replay
+    (operators/similarity.py ivf_train + _assign_cells): emits
+    ``ci`` (quantized corpus), ``tr`` (md5-Bernoulli train sample),
+    ``cents0..centsN`` (the unrolled train loop) and ``afin`` (nearest
+    final centroid of every corpus row, ties to the lowest cid).
+    Returns (parts, idot, score) so callers append their own tail —
+    the IVF probe/rank chain, the SemDeDup pair/drop chain."""
     idot = lambda a, b: (  # noqa: E731
         f"CAST(list_sum(list_transform(range(1, {dim + 1}),"
         f" i -> {a}[i]*{b}[i])) AS DOUBLE)"
     )
     score = lambda v, s: f"{idot(v, s)} / sqrt({idot(s, s)})"  # noqa: E731
-    # deterministic md5-hash Bernoulli train sample (same device and seed
-    # as operators/sampling.py with seed "ivf") — the training CTEs read
-    # tr; assignment/probing read the full ci
+    # deterministic md5-hash Bernoulli train sample (same device as
+    # operators/sampling.py) — the training CTEs read tr;
+    # assignment/probing read the full ci
     tr_pred = (
-        f"(('0x' || substr(md5('ivf' || chr(31) ||"
+        f"(('0x' || substr(md5('{sample_seed}' || chr(31) ||"
         f" coalesce(CAST(id AS VARCHAR), '')), 1, 8))::BIGINT"
         f" / 4294967296.0) < {train_fraction}"
         if train_fraction is not None
@@ -1963,7 +1988,7 @@ def _ivf_oracle(
         ci AS (SELECT vec_id AS id,
                       list_transform(embedding,
                         x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS iv
-               FROM embeddings),
+               FROM {src}),
         tr AS (SELECT * FROM ci WHERE {tr_pred}),
         cents0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, iv AS sv
                    FROM (SELECT id, iv FROM tr ORDER BY id LIMIT {n_centroids}))"""]
@@ -1989,7 +2014,30 @@ def _ivf_oracle(
             SELECT c.id, ct.cid,
                    row_number() OVER (PARTITION BY c.id
                        ORDER BY {score('c.iv', 'ct.sv')} DESC, ct.cid ASC) AS rn
-            FROM ci c CROSS JOIN {fin} ct) WHERE rn = 1),
+            FROM ci c CROSS JOIN {fin} ct) WHERE rn = 1)""")
+    return parts, idot, score
+
+
+def _ivf_oracle(
+    k: int = 5,
+    n_centroids: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    scale: int = 10_000,
+    dim: int = 64,
+    train_fraction: float | None = None,
+) -> str:
+    """Exact replay of ann_topk_ivf (operators/similarity.py): the
+    micro-unit quantization makes every Lloyd-iteration intermediate an
+    exact integer (element-wise BIGINT sums are order-independent) and
+    every score two IEEE ops on exact integers (< 2^53, so HUGEINT→DOUBLE
+    is lossless) — the full k-means train loop unrolls into CTEs and the
+    whole approximate-ANN pipeline gets an exact oracle, ties included."""
+    parts, idot, score = _lloyd_parts(
+        n_centroids, iters, scale, dim, train_fraction
+    )
+    fin = f"cents{iters}"
+    parts.append(f"""
         qp AS (SELECT id AS query_id, cid FROM (
             SELECT q.id, ct.cid,
                    row_number() OVER (PARTITION BY q.id
@@ -2015,8 +2063,62 @@ def _ivf_oracle(
     return "WITH" + ",".join(parts)
 
 
+# The synthetic embeddings are near-orthogonal (max pairwise cos ~0.51),
+# so the SemDeDup gate plants both exact clones (vec_id+100000 — must all
+# drop) and single-coordinate-perturbed clones (vec_id+200000, first
+# component x3 — a genuine mix of above/below threshold and occasionally
+# a different cluster, exercising every branch). The perturbation is one
+# IEEE multiply on doubles, identical in both engines.
+_SEMDEDUP_SRC = """(
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id, embedding
+    FROM embeddings WHERE vec_id < 25
+    UNION ALL
+    SELECT vec_id + 200000 AS vec_id,
+           list_transform(range(1, len(embedding) + 1),
+             i -> CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) * 3.0
+                       ELSE CAST(embedding[i] AS DOUBLE) END) AS embedding
+    FROM embeddings WHERE vec_id < 50)"""
+
+
+def _semdedup_oracle(
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    dim: int = 64,
+    train_fraction: float | None = 0.5,
+) -> str:
+    """Exact replay of semdedup_kmeans (operators/similarity.py): the
+    shared Lloyd CTEs assign every row its final cluster; within a
+    cluster, a row drops iff some lower-id member's cosine (two IEEE ops
+    on exact integers) reaches the threshold; survivors keep (id, cid)."""
+    parts, idot, _ = _lloyd_parts(
+        n_centroids, iters, scale, dim, train_fraction,
+        sample_seed="semdedup", src=_SEMDEDUP_SRC,
+    )
+    cos = (
+        f"{idot('av.iv', 'bv.iv')}"
+        f" / (sqrt({idot('av.iv', 'av.iv')})"
+        f" * sqrt({idot('bv.iv', 'bv.iv')}))"
+    )
+    parts.append(f"""
+        drop AS (SELECT DISTINCT a.neighbor_id AS id
+            FROM afin a JOIN afin b
+                 ON a.cid = b.cid AND b.neighbor_id < a.neighbor_id
+                 JOIN ci av ON av.id = a.neighbor_id
+                 JOIN ci bv ON bv.id = b.neighbor_id
+            WHERE {cos} >= {threshold})
+        SELECT a.neighbor_id AS vec_id, CAST(a.cid AS INT) AS cid
+        FROM afin a LEFT JOIN drop d ON d.id = a.neighbor_id
+        WHERE d.id IS NULL""")
+    return "WITH" + ",".join(parts)
+
+
 _ANN_ORACLES = {
     "ann_topk_ivf": _ivf_oracle(train_fraction=0.5),
+    "dedup_semdedup_kmeans": _semdedup_oracle(),
     "ann_topk_bruteforce": """
         WITH q AS (SELECT vec_id AS query_id,
                           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
@@ -4316,6 +4418,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "pack_token_shards": _q_pack_token_shards,
             "mixture_sample_sources": _q_mixture_sample_sources,
             "dedup_embedding_cosine": _q_dedup_embedding,
+            "dedup_semdedup_kmeans": _q_dedup_semdedup,
             "score_ngram": _q_score_ngram,
             "score_token_count": _q_score_token_count,
             "score_token_count_bpe": _q_score_token_count_bpe,

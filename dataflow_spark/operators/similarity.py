@@ -349,3 +349,64 @@ def ann_topk_lsh(
     if round_to is not None:
         out = out.withColumn("cos_sim", F.round("cos_sim", round_to))
     return out
+
+
+def semdedup_kmeans(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    train_fraction: float | None = None,
+    sample_seed: str = "semdedup",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540; the reference's
+    embedding near-dedup family, sem_deduplicator.py:63-161): k-means
+    cluster the embedding space, then within each cluster drop every item
+    whose cosine similarity to a LOWER-ID cluster member reaches the
+    threshold. Returns the kept ``(id, cid)`` rows.
+
+    The paper's design point is exactly this cost shape: candidate pairs
+    are confined to clusters, so pair volume is sum(c_i^2) over cluster
+    sizes instead of n^2 — at 100 TB you raise ``n_centroids`` to keep
+    clusters bounded and train on a ``train_fraction`` sample; the corpus
+    then sees one assignment pass (explode over a broadcast centroid
+    literal + max_by), one self-join per cluster (AQE absorbs cluster
+    skew), and one broadcast anti-join. Clustering reuses ``ivf_train``'s
+    deterministic integer Lloyd iterations, so every decision — centroid
+    sums, assignments, and the cosine test (two IEEE ops on exact
+    integers < 2^53) — is bit-reproducible across engines and replayed
+    exactly by the DuckDB oracle. Differences from
+    ``dedup_embedding_cosine`` (the LSH-bucketed variant): candidates
+    come from trained clusters rather than sign-LSH bands, and the drop
+    rule is one-shot (similar to ANY earlier member, kept or not) rather
+    than the greedy kept-only scan — a single join instead of a
+    sequential per-component pass, at the cost of occasionally dropping a
+    chain member the greedy scan would keep. Near-dup pairs split across
+    clusters are missed — the paper's documented recall trade."""
+    ci = corpus.select(
+        F.col(id_col).alias("id"), quantize_vec(vec_col, scale).alias("v")
+    ).localCheckpoint()
+    cents = ivf_train(
+        ci, "id", "v", n_centroids=n_centroids, iters=iters,
+        train_fraction=train_fraction, sample_seed=sample_seed,
+    )
+    tagged = ci.join(_assign_cells(ci, "id", "v", cents), "id")
+    a = tagged.select(F.col("id").alias("a_id"), F.col("v").alias("av"), "cid")
+    b = tagged.select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "cid")
+    cos = _int_dot("av", "bv").cast("double") / (
+        F.sqrt(_int_dot("av", "av").cast("double"))
+        * F.sqrt(_int_dot("bv", "bv").cast("double"))
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(cos >= F.lit(float(threshold)))
+        .select(F.col("a_id").alias("id"))
+        .distinct()
+    )
+    return tagged.join(drops, "id", "left_anti").select(
+        F.col("id").alias(id_col), "cid"
+    )

@@ -136,3 +136,61 @@ def test_ivf_train_fraction(spark):
     c_frac = ivf_train(ci, "id", "v", n_centroids=8, train_fraction=0.5)
     c_explicit = ivf_train(sampled, "id", "v", n_centroids=8)
     assert c_frac == c_explicit
+
+
+def test_semdedup_kmeans_semantics(spark):
+    """SemDeDup: exact clones always drop (same vector -> same cluster,
+    cos 1.0), originals always survive vs their own clones (first-wins by
+    id), every drop is justified by a lower-id same-cluster member at
+    >= threshold (numpy cross-check on the quantized integers), and the
+    keep-set is partition-layout invariant."""
+    from dataflow_spark.operators.similarity import semdedup_kmeans
+
+    df, mat = _toy_embeddings(spark, n=90, dim=24, seed=5)
+    clones = df.filter(F.col("vec_id") < 12).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    aug = df.unionByName(clones)
+
+    out = semdedup_kmeans(aug, threshold=0.95, n_centroids=4, iters=2)
+    kept = {r["vec_id"]: r["cid"] for r in out.collect()}
+    assert all(i in kept for i in range(90))          # originals survive
+    assert all(1000 + i not in kept for i in range(12))  # clones drop
+
+    # numpy justification of every drop, over the SAME quantized ints
+    rows = {
+        r["vec_id"]: (np.array(r["v"], dtype="int64"), r["cid"])
+        for r in aug.select(
+            "vec_id",
+            F.transform(F.col("embedding").cast("array<double>"),
+                        lambda x: F.round(x * 10000).cast("long")).alias("v"),
+        ).join(
+            semdedup_kmeans(aug, threshold=2.0, n_centroids=4, iters=2)
+            .withColumnRenamed("cid", "cid2"),
+            "vec_id",
+        ).selectExpr("vec_id", "v", "cid2 as cid").collect()
+    }
+    all_ids = sorted(rows)
+    for i in all_ids:
+        if i in kept:
+            continue
+        vi, ci = rows[i]
+        just = False
+        for j in all_ids:
+            if j >= i or rows[j][1] != ci:
+                continue
+            vj = rows[j][0]
+            cos = float(vi @ vj) / (
+                np.sqrt(float(vi @ vi)) * np.sqrt(float(vj @ vj))
+            )
+            if cos >= 0.95:
+                just = True
+                break
+        assert just, f"unjustified drop {i}"
+
+    re_out = semdedup_kmeans(
+        aug.repartition(17), threshold=0.95, n_centroids=4, iters=2
+    )
+    assert sorted((r["vec_id"], r["cid"]) for r in re_out.collect()) == sorted(
+        kept.items()
+    )
