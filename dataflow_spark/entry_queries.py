@@ -1424,6 +1424,27 @@ def _q_ccnet_ppl_buckets(spark, sf):
     return LM.ppl_buckets(df, "doc_id", lang_col="lang")
 
 
+def _q_ccnet_pipeline(spark, sf):
+    """The full CCNet chain (Wenzek 2020; the reference runs it as
+    CCNetDeduplicator + Kenlm scorer stages) composed end-to-end as one
+    lazy plan: ccnet paragraph normalization → exact-hash first-wins
+    dedup (one map-side-combinable shuffle) → bigram-LM perplexity
+    trained on the SURVIVORS → per-language head/middle/tail via
+    sample-derived cutoffs → keep head+middle. Every stage is the
+    already-oracled operator; the composition itself is what this key
+    gates (and at 100 TB the chain is exactly three shuffles: the dedup
+    hash, the two LM count tables)."""
+    df = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    norm = df.select(
+        "doc_id",
+        REFINERS["ccnet_normalize"].native(F.col("text")).alias("text"),
+        "lang",
+    )
+    surv = D.dedup_exact(norm, ["text"], "doc_id", algo="sha256")
+    out = LM.ppl_buckets(surv, "doc_id", lang_col="lang")
+    return out.filter(F.col("ppl_bucket") != F.lit("tail"))
+
+
 # threshold chosen to split the synthetic corpus non-trivially (both kept
 # and dropped rows exist at every sf), mirroring PerplexityFilter's
 # min<=ppl<=max band semantics
@@ -1922,16 +1943,22 @@ _LM_ORACLES = {
         SELECT d.doc_id, d.text
         FROM documents d JOIN pd ON pd.id = d.doc_id
         WHERE round(exp(-pd.lps / pd.n), 6) BETWEEN 0.0 AND {_PPL_MAX}""",
-    # ccnet_ppl_buckets: sample-derived per-language order-statistic
-    # cutoffs (rank-based on round-6 doubles — no interpolation, no FP
-    # drift), then two comparisons per doc. The md5-uniform draw is the
-    # exact twin of sampling._md5_u01 with seed 20.
-    "ccnet_ppl_buckets": f"""
-        WITH {_LM_ORACLE_CTES},
+}
+
+
+def _ppl_buckets_sql(doc_rel: str, where: str = "") -> str:
+    """The CCNet bucket-assignment CTE tail (lm.ppl_buckets replay) over
+    ``doc_rel`` — a relation exposing (doc_id, lang) — assuming the
+    bigram-LM CTEs (toks/pd) for the same corpus are already in scope:
+    sample-derived per-language order-statistic cutoffs (rank-based on
+    round-6 doubles — no interpolation, no FP drift), then two
+    comparisons per doc. The md5-uniform draw is the exact twin of
+    sampling._md5_u01 with seed 20."""
+    return f"""
         j AS (SELECT t.id AS doc_id, d.lang,
                      round(exp(-pd.lps / pd.n), 6) AS ppl
               FROM toks t JOIN pd ON pd.id = t.id
-                   JOIN documents d ON d.doc_id = t.id),
+                   JOIN {doc_rel} d ON d.doc_id = t.id),
         samp AS (SELECT * FROM j
                  WHERE (('0x' || substr(md5('20' || chr(31) ||
                         coalesce(CAST(doc_id AS VARCHAR), '')), 1, 8))::BIGINT
@@ -1949,8 +1976,29 @@ _LM_ORACLES = {
                CASE WHEN c.c1 IS NULL OR j.ppl <= c.c1 THEN 'head'
                     WHEN j.ppl <= c.c2 THEN 'middle'
                     ELSE 'tail' END AS ppl_bucket
-        FROM j LEFT JOIN cuts c ON c.lang = j.lang""",
-}
+        FROM j LEFT JOIN cuts c ON c.lang = j.lang{where}"""
+
+
+_LM_ORACLES["ccnet_ppl_buckets"] = f"""
+        WITH {_LM_ORACLE_CTES},
+        {_ppl_buckets_sql("documents")}"""
+
+# The full CCNet chain (Wenzek 2020) as ONE oracled query: normalize →
+# exact-hash first-wins dedup → corpus-LM perplexity over the SURVIVORS
+# (the LM trains on what dedup kept, as CCNet trains per-snapshot) →
+# per-language buckets → keep head+middle. sha256 is the engine/oracle
+# common crypto hash (the true sha1-64 path is oracled standalone via
+# the recursive-CTE SHA-1).
+_LM_ORACLES["ccnet_pipeline"] = f"""
+        WITH norm AS (SELECT doc_id, {_ccnet_norm_oracle_expr("text")} AS text, lang
+                      FROM documents),
+        kept AS (SELECT doc_id, text, lang FROM (
+                   SELECT *, row_number() OVER (
+                       PARTITION BY sha256(coalesce(text, ''))
+                       ORDER BY doc_id) AS rn
+                   FROM norm) WHERE rn = 1),
+        {_lm_ctes("kept")},
+        {_ppl_buckets_sql("kept", where=" WHERE (c.c1 IS NULL OR j.ppl <= c.c2)")}"""
 
 
 def _lloyd_parts(
@@ -4440,6 +4488,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "score_perplexity_cjk": _q_score_perplexity_cjk,
             "score_perplexity_thai": _q_score_perplexity_thai,
             "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
+            "ccnet_pipeline": _q_ccnet_pipeline,
             "score_trigram_kn": _q_score_trigram_kn,
             "classify_source_nb": _q_classify_source_nb,
             "perplexity_lm_filter": _q_perplexity_lm_filter,

@@ -329,3 +329,40 @@ def test_ppl_buckets_ccnet_split(spark):
     assert sorted((r["doc_id"], r["ppl_bucket"]) for r in re_out) == sorted(
         (r["doc_id"], r["ppl_bucket"]) for r in out
     )
+
+
+def test_ccnet_pipeline_composition(spark):
+    """The composed chain drops exact post-normalization duplicates before
+    the LM ever trains (clone of doc 0 must not survive), emits no 'tail'
+    rows, and keeps roughly two thirds per language."""
+    from dataflow_spark.entry_queries import _q_ccnet_pipeline, _t  # noqa: F401
+    from dataflow_spark.functions.refiners import REFINERS
+    from dataflow_spark.operators.dedup import dedup_exact
+    from dataflow_spark.operators.lm import ppl_buckets
+    from pyspark.sql import functions as F2
+
+    rows = [
+        (
+            i,
+            "common words "
+            + " ".join(f"tok{(i * p) % (13 + p)}" for p in (3, 5, 7, 11))
+            + f" uniq{i}",
+            ["en", "fr"][i % 2],
+        )
+        for i in range(80)
+    ]
+    rows.append((500, rows[0][1] + "  ", "en"))  # dup modulo normalization
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    norm = df.select(
+        "doc_id", REFINERS["ccnet_normalize"].native(F2.col("text")).alias("text"), "lang"
+    )
+    surv = dedup_exact(norm, ["text"], "doc_id", algo="sha256")
+    out = ppl_buckets(surv, "doc_id").filter(F2.col("ppl_bucket") != "tail").collect()
+
+    ids = {r["doc_id"] for r in out}
+    assert 500 not in ids and 0 in ids
+    assert all(r["ppl_bucket"] in ("head", "middle") for r in out)
+    # both languages keep something, and the tail cut is real
+    assert {r["lang"] for r in out} == {"en", "fr"}
+    assert 0 < len(out) < 81
