@@ -200,6 +200,13 @@ def main() -> None:
         "score_trigram_kn",
         "score_token_count_bpe",
         "classify_source_nb",
+        # r7 second wave — curation-pipeline operators (not in the frozen
+        # comparable subset; timed as suite extras)
+        "line_dedup_global",
+        "pack_token_shards",
+        "dsir_logweights",
+        "dedup_semdedup_kmeans",
+        "ccnet_pipeline",
     ]
     timings: dict[str, float] = {}
 

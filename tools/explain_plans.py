@@ -50,6 +50,9 @@ HEADLINE = [
     "dsir_select_gumbel",
     "line_dedup_global",
     "dedup_substrings_global",
+    "ccnet_ppl_buckets",
+    "ccnet_pipeline",
+    "dedup_semdedup_kmeans",
     "pack_token_shards",
     "mixture_sample_sources",
     "gopher_top_bigram_char",
