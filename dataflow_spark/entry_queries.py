@@ -1018,6 +1018,18 @@ def _q_score_lang_id(spark, sf):
     return df.select("doc_id", S.lang_id_native(F.col("text")).alias("lang_pred"))
 
 
+def _q_quality_signals(spark, sf):
+    """Dolma/RedPajama-style fused signal bundle (stats.
+    quality_signals_exprs): eleven per-document quality signals — each
+    individually oracled elsewhere — computed in ONE projection over ONE
+    parquet scan (the 100-TB lever is the scan count)."""
+    from dataflow_spark.functions.stats import quality_signals_exprs
+
+    df = _t(spark, sf, "documents")
+    sig = quality_signals_exprs(F.col("text"))
+    return df.select("doc_id", *[col.alias(k) for k, col in sig.items()])
+
+
 def _q_score_fingerprint(spark, sf):
     df = _t(spark, sf, "documents")
     return df.select("doc_id", S.fingerprint_md5_native(F.col("text")).alias("fp"))
@@ -1122,6 +1134,66 @@ _SCORER_ORACLES = {
           FROM g)
         SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w""",
 }
+
+# quality_signals: the fused bundle replays every member signal's oracle
+# expression over ONE shared token CTE pair (toks = whitespace tokens,
+# utoks = punct-stripped lowercase tokens — the two tokenizations the
+# member operators use), mirroring the engine's single-Project fusion.
+_SCORER_ORACLES["quality_signals"] = f"""
+    WITH m AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             list_filter(regexp_split_to_array(
+                translate(lower(coalesce(text,'')), '{_PUNCT_SQL}', ''), '\\s+'),
+                x -> x <> '') AS utoks,
+             length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) AS nschars
+      FROM documents),
+    h AS (
+      SELECT doc_id, text, toks, utoks, nschars,
+             len(toks) AS words,
+             len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x)))) AS stop_hits,
+             len(list_filter(toks, x -> upper(x) = x AND regexp_matches(x, '[A-Za-z]'))) AS caps,
+             len(regexp_extract_all(coalesce(text,''), '#'))
+             + len(regexp_extract_all(coalesce(text,''), '\\.\\.\\.'))
+             + len(regexp_extract_all(coalesce(text,''), '…')) AS sym,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                             x -> list_contains({_sql_lang_arr('en')}, x))) AS c_en,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                             x -> list_contains({_sql_lang_arr('de')}, x))) AS c_de,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                             x -> list_contains({_sql_lang_arr('fr')}, x))) AS c_fr,
+             len(list_filter(list_transform(toks, x -> lower(x)),
+                             x -> list_contains({_sql_lang_arr('es')}, x))) AS c_es
+      FROM m)
+    SELECT doc_id,
+           CAST(words AS BIGINT) AS n_words,
+           CAST(length(coalesce(text,'')) AS BIGINT) AS n_chars,
+           CASE WHEN words > 0 THEN round(nschars * 1.0 / words, 9) END AS mean_word_len,
+           CASE WHEN len(utoks) > 0
+                THEN round(len(list_distinct(utoks)) * 1.0 / len(utoks), 9)
+           END AS unique_word_ratio,
+           CASE WHEN words > 0
+                THEN round(len(list_filter(toks, x -> regexp_matches(x, '[a-zA-Z]')))
+                           * 1.0 / words, 9)
+           END AS alpha_word_ratio,
+           CASE WHEN words > 0 THEN round(sym * 1.0 / words, 9) END AS symbol_word_ratio,
+           CASE WHEN words > 0 THEN round(stop_hits * 1.0 / words, 9) END AS stopword_ratio,
+           CASE WHEN c_en > 0 AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+                WHEN c_de > 0 AND c_de >= c_fr AND c_de >= c_es THEN 'de'
+                WHEN c_fr > 0 AND c_fr >= c_es THEN 'fr'
+                WHEN c_es > 0 THEN 'es'
+                ELSE 'unknown' END AS lang_pred,
+           round(CASE WHEN len(utoks) < 5 THEN 1.0
+                 ELSE len(list_distinct(list_transform(range(1, len(utoks) - 3),
+                      i -> array_to_string(list_slice(utoks, i, i + 4), ' ')))) * 1.0
+                      / (len(utoks) - 4) END, 9) AS ngram_score,
+           round(CASE WHEN words > 0 THEN
+             0.3 * least(1.0, words / 50.0)
+           + 0.3 * least(1.0, 5.0 * (stop_hits / CAST(words AS DOUBLE)))
+           + 0.2 * (1.0 - caps / CAST(words AS DOUBLE))
+           + 0.2 * greatest(0.0, 1.0 - 10.0 * (sym / CAST(words AS DOUBLE)))
+           ELSE 0.0 END, 9) AS quality,
+           md5(trim(regexp_replace(lower(coalesce(text,'')), '\\s+', ' ', 'g'))) AS fp
+    FROM h"""
 
 
 # ---------------------------------------------------------- windows (events)
@@ -4472,6 +4544,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "score_token_count_bpe": _q_score_token_count_bpe,
             "answer_token_length_filter_bpe": _q_answer_token_length_filter_bpe,
             "score_quality": _q_score_quality,
+            "quality_signals": _q_quality_signals,
             "score_lang_id": _q_score_lang_id,
             "score_fingerprint": _q_score_fingerprint,
             "score_lexical_diversity": _q_score_lexdiv,

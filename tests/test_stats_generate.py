@@ -94,3 +94,47 @@ def test_bertscore_and_task2vec(spark):
     pair = np.mean([1 - vecs[i] @ vecs[j] for i in range(n) for j in range(n) if i != j])
     assert got_div.n_docs == n
     assert abs(got_div.diversity - round(pair, 6)) < 1e-5
+
+
+def test_quality_signals_fused_single_pass(spark):
+    """The eleven-signal bundle must stay ONE parquet/relation scan with
+    ZERO shuffles and no Python — the whole point of fusing — and each
+    member signal must equal its standalone operator's value."""
+    from dataflow_spark.functions.scorers import (
+        lang_id_native,
+        ngram_score_native,
+        quality_score_native,
+    )
+    from dataflow_spark.functions.stats import quality_signals_exprs
+
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the old barn."),
+        (1, "aa aa aa aa aa aa"),
+        (2, ""),
+        (3, "# # # ... some symbols … here and the rest of the words"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = quality_signals_exprs(F.col("text"))
+    out = df.select("doc_id", *[c.alias(k) for k, c in sig.items()])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+
+    got = {r["doc_id"]: r for r in out.collect()}
+    ref = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            lang_id_native(F.col("text")).alias("lang_pred"),
+            F.round(ngram_score_native(F.col("text")), 9).alias("ngram_score"),
+            F.round(quality_score_native(F.col("text")), 9).alias("quality"),
+        ).collect()
+    }
+    for i in got:
+        for k in ("lang_pred", "ngram_score", "quality"):
+            assert got[i][k] == ref[i][k], (i, k)
+    assert got[2]["n_words"] == 0 and got[2]["mean_word_len"] is None
+    assert got[4]["n_chars"] == 0

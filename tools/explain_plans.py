@@ -53,6 +53,7 @@ HEADLINE = [
     "ccnet_ppl_buckets",
     "ccnet_pipeline",
     "dedup_semdedup_kmeans",
+    "quality_signals",
     "pack_token_shards",
     "mixture_sample_sources",
     "gopher_top_bigram_char",
