@@ -4249,6 +4249,26 @@ def _q_line_dedup_global(spark, sf):
     return dedup_lines_global(docs, "doc_id", "text", min_chars=10)
 
 
+def _q_paragraph_dedup_global(spark, sf):
+    """Corpus-wide first-wins exact PARAGRAPH dedup — the middle member
+    of the MassiveText document/paragraph/line granularity triple
+    (dedup_lines_global with a blank-line delimiter). Paragraph breaks
+    are synthesized by replacing ' merge ' with a blank line (identical
+    leftmost-non-overlapping replace in both engines), planting genuine
+    cross-document duplicate paragraphs."""
+    from dataflow_spark.operators.dedup import dedup_lines_global
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "replace(coalesce(text, ''), ' merge ', chr(10) || chr(10))"
+        ).alias("text"),
+    )
+    return dedup_lines_global(
+        docs, "doc_id", "text", min_chars=20, newline="\n\n"
+    )
+
+
 def _q_dedup_substrings(spark, sf):
     """Corpus-wide exact-substring dedup (Lee et al. 2021 ExactSubstr on
     whitespace tokens, k=20): every non-first occurrence of a repeated
@@ -4301,6 +4321,24 @@ _LINE_DEDUP_ORACLE = {
                  UNION ALL
                  SELECT doc_id, pos, line FROM rk WHERE rn = 1)
         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM kept GROUP BY doc_id""",
+    "paragraph_dedup_global": """
+        WITH src AS (SELECT doc_id,
+                            replace(coalesce(text, ''), ' merge ',
+                                    chr(10) || chr(10)) AS text
+                     FROM documents),
+        ls AS (SELECT doc_id,
+                      string_split(text, chr(10) || chr(10)) AS a FROM src),
+        paras AS (SELECT doc_id, u.i AS pos, a[u.i] AS line
+                  FROM ls, unnest(range(1, len(a) + 1)) AS u(i)),
+        rk AS (SELECT doc_id, pos, line,
+                      row_number() OVER (PARTITION BY line
+                                         ORDER BY doc_id, pos) AS rn
+               FROM paras WHERE length(line) >= 20),
+        kept AS (SELECT doc_id, pos, line FROM paras WHERE length(line) < 20
+                 UNION ALL
+                 SELECT doc_id, pos, line FROM rk WHERE rn = 1)
+        SELECT doc_id, string_agg(line, chr(10) || chr(10) ORDER BY pos) AS text
         FROM kept GROUP BY doc_id""",
 }
 
@@ -4534,6 +4572,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsir_logweights": _q_dsir_logweights,
             "dsir_select_gumbel": _q_dsir_select_gumbel,
             "line_dedup_global": _q_line_dedup_global,
+            "paragraph_dedup_global": _q_paragraph_dedup_global,
             "dedup_substrings_global": _q_dedup_substrings,
             "pack_token_shards": _q_pack_token_shards,
             "mixture_sample_sources": _q_mixture_sample_sources,

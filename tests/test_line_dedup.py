@@ -73,3 +73,31 @@ def test_substring_dedup_overlapping_runs(spark):
     out = {r.doc_id: r.text for r in dedup_substrings_global(df, k=5).collect()}
     assert out[1] == "t1 t2 t3 t4 t5 t6"
     assert out[2] == "u1 u2"
+
+
+def test_paragraph_dedup_blank_line_granularity(spark):
+    """dedup_lines_global with a blank-line delimiter dedups PARAGRAPHS:
+    a repeated multi-line paragraph loses wholesale even though its
+    individual lines also appear (untouched) elsewhere; short paragraphs
+    are exempt; reassembly preserves paragraph order."""
+    from dataflow_spark.operators.dedup import dedup_lines_global
+
+    boiler = "subscribe to our newsletter\nall rights reserved"
+    rows = [
+        (1, f"real content paragraph one\n\n{boiler}"),
+        (2, f"{boiler}\n\nother real content here"),      # boiler is a dup
+        (3, "subscribe to our newsletter\n\nshort"),       # single LINE of
+        # the boiler as its own paragraph: different string -> survives
+        (4, boiler),                                       # only the dup -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.text
+        for r in dedup_lines_global(
+            df, "doc_id", "text", min_chars=20, newline="\n\n"
+        ).collect()
+    }
+    assert out[1] == f"real content paragraph one\n\n{boiler}"
+    assert out[2] == "other real content here"
+    assert out[3] == "subscribe to our newsletter\n\nshort"  # <20 exempt tail
+    assert 4 not in out
