@@ -4369,6 +4369,31 @@ def _q_pack_token_shards(spark, sf):
     return out.select("doc_id", "n_tok", "cum_tokens", "shard_id")
 
 
+def _q_curriculum_pack_shards(spark, sf):
+    """Curriculum sharding: pack fixed-token-budget training shards in
+    QUALITY order (best documents first, doc_id tiebreak) instead of
+    doc_id order — early shards hold the highest-quality corpus slice,
+    the standard curriculum / quality-annealed data ordering. Pure
+    composition: quality_score_native (oracled) as the sort key into the
+    same two-pass distributed prefix sum (pack_token_shards with a
+    struct order key; no global single-reducer window)."""
+    from dataflow_spark.operators.bpe import estimated_token_count
+    from dataflow_spark.operators.packing import pack_token_shards
+
+    docs = _t(spark, sf, "documents").select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    d = docs.select(
+        "doc_id",
+        F.round(S.quality_score_native(F.col("text")), 9).alias("quality"),
+        estimated_token_count("text").alias("n_tok"),
+    ).withColumn(
+        "__ck", F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"))
+    )
+    out = pack_token_shards(d, "__ck", "n_tok", shard_budget=_SHARD_BUDGET)
+    return out.select("doc_id", "quality", "n_tok", "cum_tokens", "shard_id")
+
+
 def _q_mixture_sample_sources(spark, sf):
     """Deterministic domain-mixture downsample to a ramped target mix
     (share of src_i ∝ i+1) at the largest feasible total — on the
@@ -4409,6 +4434,37 @@ _PACKING_ORACLES = {
         WHERE (('0x' || substr(md5('3' || chr(31)
                  || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
               / 4294967296.0 < rt.rate""",
+    # curriculum_pack_shards: the same single-window prefix-sum replay as
+    # pack_token_shards, ordered by (quality DESC, doc_id) — quality is
+    # the round-9 score_quality value, identical in both engines, so the
+    # total order (and hence every cumsum) is engine-independent.
+    "curriculum_pack_shards": f"""
+        WITH m AS (SELECT doc_id, text, {{_toks}} AS toks FROM documents),
+        h AS (
+          SELECT doc_id, len(toks) AS n,
+                 CAST(ceil(length(coalesce(text,'')) / 4.0) AS INT) AS n_tok,
+                 len(list_filter(toks, x -> list_contains({{_sw}}, lower(x)))) AS stop_hits,
+                 len(list_filter(toks, x -> upper(x) = x AND regexp_matches(x, '[A-Za-z]'))) AS caps,
+                 len(regexp_extract_all(coalesce(text,''), '#'))
+                 + len(regexp_extract_all(coalesce(text,''), '\\.\\.\\.'))
+                 + len(regexp_extract_all(coalesce(text,''), '…')) AS sym
+          FROM m),
+        q AS (SELECT doc_id, n_tok,
+                     round(CASE WHEN n > 0 THEN
+                       0.3 * least(1.0, n / 50.0)
+                     + 0.3 * least(1.0, 5.0 * (stop_hits / CAST(n AS DOUBLE)))
+                     + 0.2 * (1.0 - caps / CAST(n AS DOUBLE))
+                     + 0.2 * greatest(0.0, 1.0 - 10.0 * (sym / CAST(n AS DOUBLE)))
+                     ELSE 0.0 END, 9) AS quality
+              FROM h),
+        c AS (SELECT doc_id, quality, n_tok,
+                     sum(n_tok) OVER (ORDER BY quality DESC, doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS cum
+              FROM q)
+        SELECT doc_id, quality, n_tok, CAST(cum AS BIGINT) AS cum_tokens,
+               CAST(floor((cum - n_tok) / {_SHARD_BUDGET}) AS BIGINT)
+                 AS shard_id
+        FROM c""".replace("{_toks}", _TOKS).replace("{_sw}", _SW_SQL),
 }
 
 
@@ -4575,6 +4631,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "paragraph_dedup_global": _q_paragraph_dedup_global,
             "dedup_substrings_global": _q_dedup_substrings,
             "pack_token_shards": _q_pack_token_shards,
+            "curriculum_pack_shards": _q_curriculum_pack_shards,
             "mixture_sample_sources": _q_mixture_sample_sources,
             "dedup_embedding_cosine": _q_dedup_embedding,
             "dedup_semdedup_kmeans": _q_dedup_semdedup,

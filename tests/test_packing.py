@@ -37,3 +37,34 @@ def test_mixture_sample_rates_and_determinism(spark):
     assert 200 < got_s0 < 300  # Bernoulli(0.5) over 500
     out2 = mixture_sample(df, "source", ["doc_id"], shares, seed=1).toPandas()
     assert sorted(out.doc_id) == sorted(out2.doc_id)  # retry-stable
+
+
+def test_curriculum_struct_order_key(spark):
+    """pack_token_shards with a struct order key (the curriculum
+    composition): cumsum follows (quality DESC, id) exactly, early
+    shards see the higher-quality rows, and the assignment is
+    partition-layout invariant."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.operators.packing import pack_token_shards
+
+    rows = [(i, float((i * 37) % 100) / 100.0, 10 + (i % 5)) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, quality double, n_tok int")
+    d = df.withColumn(
+        "__ck", F.struct((-F.col("quality")).alias("nq"), F.col("doc_id"))
+    )
+    out = pack_token_shards(d, "__ck", "n_tok", shard_budget=500).collect()
+
+    seq = sorted(out, key=lambda r: (-r["quality"], r["doc_id"]))
+    run = 0
+    for r in seq:
+        run += r["n_tok"]
+        assert r["cum_tokens"] == run
+        assert r["shard_id"] == (r["cum_tokens"] - r["n_tok"]) // 500
+    assert seq[0]["shard_id"] == 0
+
+    re_out = pack_token_shards(
+        d.repartition(11), "__ck", "n_tok", shard_budget=500
+    ).collect()
+    assert sorted((r["doc_id"], r["cum_tokens"], r["shard_id"]) for r in re_out) \
+        == sorted((r["doc_id"], r["cum_tokens"], r["shard_id"]) for r in out)
