@@ -3426,6 +3426,52 @@ def _q_sketch_profile(spark, sf):
 _KMV_K = 64
 
 
+_HIST_B = 1000
+
+
+def _q_hist_quantiles_quality(spark, sf):
+    """Mergeable histogram-quantile sketch over the per-doc quality
+    score, per language: bin = floor(score * B) (B=1000 fixed bins on
+    [0,1]), quantile p = the upper edge of the smallest bin whose
+    cumulative count reaches ceil(p * total). The histogram IS the
+    sketch — one combinable (lang, bin) count aggregate whose state is
+    ≤B rows per group regardless of corpus size, then a window over at
+    most B rows per language for the extraction. The deterministic
+    alternative to approx_percentile (engine-specific, rows-only) at a
+    documented ±1/B resolution — the distribution-monitoring primitive
+    a 100-TB curation run reports per snapshot."""
+    docs = _t(spark, sf, "documents")
+    q = docs.select(
+        "lang",
+        F.round(S.quality_score_native(F.col("text")), 9).alias("qs"),
+    )
+    bins = q.select(
+        "lang",
+        F.least(F.lit(_HIST_B - 1), F.floor(F.col("qs") * _HIST_B))
+        .cast("long")
+        .alias("bin"),
+    )
+    hist = bins.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    edge = (F.col("bin") + 1).cast("double") / _HIST_B
+
+    def pick(p: float):
+        need = F.ceil(F.lit(p) * F.col("total"))
+        return F.round(
+            F.min(F.when(F.col("cum") >= need, edge)), 6
+        ).alias(f"p{int(p * 100)}")
+
+    return cum.groupBy("lang").agg(
+        F.max("total").alias("n_docs"),
+        pick(0.25), pick(0.5), pick(0.75), pick(0.9),
+    )
+
+
 def _q_sketch_profile_kmv(spark, sf):
     """Deterministic sketch profile with EXACT SQL replay — the
     alternative to `sketch_profile`'s HLL/approx_percentile (which are
@@ -3504,6 +3550,47 @@ _SKETCH_KMV_ORACLE = {
         SELECT kmv.event_type, kmv.kmv_users, samp.sample_p50, samp.n_sampled
         FROM kmv LEFT JOIN samp USING (event_type)"""
 }
+
+# hist_quantiles_quality: the binned-histogram quantile replay — the
+# round-9 quality scores are engine-identical, so bin assignment,
+# cumulative counts, and every quantile edge replay exactly.
+_SKETCH_KMV_ORACLE["hist_quantiles_quality"] = f"""
+    WITH m AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    h AS (
+      SELECT lang, len(toks) AS n,
+             len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x)))) AS stop_hits,
+             len(list_filter(toks, x -> upper(x) = x AND regexp_matches(x, '[A-Za-z]'))) AS caps,
+             len(regexp_extract_all(coalesce(text,''), '#'))
+             + len(regexp_extract_all(coalesce(text,''), '\\.\\.\\.'))
+             + len(regexp_extract_all(coalesce(text,''), '…')) AS sym
+      FROM m),
+    q AS (SELECT lang,
+                 round(CASE WHEN n > 0 THEN
+                   0.3 * least(1.0, n / 50.0)
+                 + 0.3 * least(1.0, 5.0 * (stop_hits / CAST(n AS DOUBLE)))
+                 + 0.2 * (1.0 - caps / CAST(n AS DOUBLE))
+                 + 0.2 * greatest(0.0, 1.0 - 10.0 * (sym / CAST(n AS DOUBLE)))
+                 ELSE 0.0 END, 9) AS qs
+          FROM h),
+    b AS (SELECT lang,
+                 CAST(least({_HIST_B - 1}, floor(qs * {_HIST_B})) AS BIGINT) AS bin
+          FROM q),
+    hist AS (SELECT lang, bin, count(*) AS c FROM b GROUP BY 1, 2),
+    cum AS (SELECT lang, bin, c,
+                   sum(c) OVER (PARTITION BY lang ORDER BY bin
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   sum(c) OVER (PARTITION BY lang) AS total
+            FROM hist)
+    SELECT lang, CAST(max(total) AS BIGINT) AS n_docs,
+           round(min(CASE WHEN cum >= ceil(0.25 * total)
+                          THEN (bin + 1) / {_HIST_B}.0 END), 6) AS p25,
+           round(min(CASE WHEN cum >= ceil(0.5 * total)
+                          THEN (bin + 1) / {_HIST_B}.0 END), 6) AS p50,
+           round(min(CASE WHEN cum >= ceil(0.75 * total)
+                          THEN (bin + 1) / {_HIST_B}.0 END), 6) AS p75,
+           round(min(CASE WHEN cum >= ceil(0.9 * total)
+                          THEN (bin + 1) / {_HIST_B}.0 END), 6) AS p90
+    FROM cum GROUP BY lang"""
 
 
 def _q_kcenter_select(spark, sf):
@@ -4717,6 +4804,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "kcenter_select": _q_kcenter_select,
             "events_profile": _q_events_profile,
             "sketch_profile_kmv": _q_sketch_profile_kmv,
+            "hist_quantiles_quality": _q_hist_quantiles_quality,
             "sketch_profile": _q_sketch_profile,
             "answer_extraction": _q_answer_extraction,
             "category_classify": _q_category_classify,

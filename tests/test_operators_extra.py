@@ -150,3 +150,46 @@ def test_pipeline_runs_chain(spark):
     assert [r.doc_id for r in out] == [0, 1]  # 2 deduped away
     assert out[0].text.startswith("hello world")
     assert "step 2: dedup:exact:md5" in pipe.explain()
+
+
+def test_hist_quantiles_close_to_exact(spark):
+    """Binned histogram quantiles land within one bin width (1/B) of the
+    exact order statistic, and the quantile vector is monotone."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.entry_queries import _HIST_B
+
+    rng = np.random.RandomState(11)
+    vals = np.clip(rng.beta(2.0, 5.0, size=4000), 0, 1).round(9)
+    df = spark.createDataFrame(
+        [(float(v), "g") for v in vals], "qs double, lang string"
+    )
+    bins = df.select(
+        "lang",
+        F.least(F.lit(_HIST_B - 1), F.floor(F.col("qs") * _HIST_B))
+        .cast("long").alias("bin"),
+    )
+    from pyspark.sql.window import Window
+
+    hist = bins.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "total", F.sum("c").over(Window.partitionBy("lang"))
+    )
+    edge = (F.col("bin") + 1).cast("double") / _HIST_B
+    row = cum.groupBy("lang").agg(
+        *[
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("total")), edge)
+            ).alias(f"p{int(p*100)}")
+            for p in (0.25, 0.5, 0.75, 0.9)
+        ]
+    ).first()
+    got = [row[f"p{int(p*100)}"] for p in (0.25, 0.5, 0.75, 0.9)]
+    exact = [float(np.quantile(vals, p, method="inverted_cdf")) for p in (0.25, 0.5, 0.75, 0.9)]
+    for g, e in zip(got, exact):
+        assert abs(g - e) <= 1.0 / _HIST_B + 1e-12, (g, e)
+    assert got == sorted(got)
