@@ -1433,6 +1433,48 @@ def _q_classify_source_nb(spark, sf):
     return nb_classify(df, "doc_id", "source")
 
 
+_NB_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+# per-language Caesar rotations: the fixed tables' text is
+# lang-independent word soup, so a lang-correlated corpus is synthesized
+# by rotating the alphabet per language — each language becomes a
+# distinct character distribution the char-trigram model can actually
+# learn (en = identity, the baseline class)
+_NB_LANG_ROT = {"de": 5, "en": 0, "es": 10, "fr": 15, "zh": 20}
+
+
+def _q_classify_lang_chargram(spark, sf):
+    """Char-trigram Naive Bayes language classifier (the fastText-style
+    feature space) — the second real trained-model feature space through
+    the same NB machinery (operators/nb.py with features=
+    char_trigrams_expr). Trained and scored on a lang-correlated derived
+    corpus (per-lang alphabet rotation, identical translate() in both
+    engines); the oracle replays training + scoring + argmax over the
+    trigram space."""
+    from dataflow_spark.operators.nb import (
+        char_trigrams_expr,
+        char_trigrams_kernel,
+        nb_classify,
+    )
+
+    df = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    sub = F.lower(F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 80))
+    derived = sub
+    for lg, k in sorted(_NB_LANG_ROT.items()):
+        if k:
+            derived = F.when(
+                F.col("lang") == lg,
+                F.translate(sub, _NB_ALPHA, _NB_ALPHA[k:] + _NB_ALPHA[:k]),
+            ).otherwise(derived)
+    d = df.select("doc_id", "lang", derived.alias("text"))
+    return nb_classify(
+        d,
+        "doc_id",
+        "lang",
+        features=char_trigrams_expr,
+        features_kernel=char_trigrams_kernel,
+    )
+
+
 def _q_score_trigram_kn(spark, sf):
     """Interpolated Kneser-Ney trigram perplexity (the KenLM-semantics
     upgrade of the bigram model) — corpus-trained, exact-integer counts,
@@ -1988,8 +2030,66 @@ _NB_ORACLE = f"""
     SELECT id AS doc_id, label AS pred_label, round(score, 6) AS score
     FROM ranked WHERE rn = 1"""
 
+def _nb_chargram_oracle() -> str:
+    """classify_lang_chargram replay: the _NB_ORACLE chain with (a) the
+    lang-rotated derived corpus as src and (b) char trigrams as the
+    feature space (1-based 3-char substr windows — bit-identical
+    tokenization in both engines)."""
+    rot_case = "sub"
+    for lg, k in sorted(_NB_LANG_ROT.items(), reverse=True):
+        if k:
+            tgt = _NB_ALPHA[k:] + _NB_ALPHA[:k]
+            rot_case = (
+                f"CASE WHEN lang = '{lg}' THEN"
+                f" translate(sub, '{_NB_ALPHA}', '{tgt}') ELSE {rot_case} END"
+            )
+    return f"""
+    WITH src AS (
+      SELECT doc_id, lang, {rot_case} AS text
+      FROM (SELECT doc_id, lang,
+                   lower(substr(coalesce(text, ''), 1, 80)) AS sub
+            FROM documents)),
+    feats AS (
+      SELECT doc_id AS id, lang,
+             CASE WHEN length(text) >= 3
+                  THEN list_transform(range(1, length(text) - 1),
+                                      i -> substr(text, i, 3))
+                  ELSE [] END AS tk
+      FROM src),
+    tw AS (SELECT lang AS label, u.w FROM feats, unnest(tk) AS u(w)),
+    wc AS (SELECT label, w, count(*) AS c FROM tw GROUP BY label, w),
+    cs AS (SELECT label, sum(c) AS n_tok FROM wc GROUP BY label),
+    dcn AS (SELECT lang AS label, count(*) AS n_docs FROM src GROUP BY lang),
+    vv AS (SELECT count(DISTINCT w) AS v FROM wc),
+    tot AS (SELECT count(*) AS n FROM src),
+    term AS (SELECT id, u.i AS pos, tk[u.i] AS w
+             FROM feats, unnest(range(1, CAST(len(tk) AS BIGINT) + 1)) AS u(i)),
+    scored AS (
+      SELECT term.id, cs.label, term.pos,
+             ln(CAST(coalesce(wc.c, 0) + 1 AS DOUBLE)
+                / CAST(cs.n_tok + vv.v AS DOUBLE)) AS lp
+      FROM term CROSS JOIN cs
+      LEFT JOIN wc ON wc.label = cs.label AND wc.w = term.w, vv),
+    folded AS (SELECT id, label, list_sum(list(lp ORDER BY pos)) AS s
+               FROM scored GROUP BY id, label),
+    pri AS (SELECT dcn.label,
+                   ln(CAST(dcn.n_docs AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS lpri
+            FROM dcn, tot),
+    allsc AS (
+      SELECT f.id, p.label, p.lpri + coalesce(fd.s, 0.0) AS score
+      FROM feats f CROSS JOIN pri p
+      LEFT JOIN folded fd ON fd.id = f.id AND fd.label = p.label),
+    ranked AS (SELECT id, label, score,
+                      row_number() OVER (PARTITION BY id
+                          ORDER BY score DESC, label ASC) AS rn
+               FROM allsc)
+    SELECT id AS doc_id, label AS pred_label, round(score, 6) AS score
+    FROM ranked WHERE rn = 1"""
+
+
 _LM_ORACLES = {
     "classify_source_nb": _NB_ORACLE,
+    "classify_lang_chargram": _nb_chargram_oracle(),
     "score_trigram_kn": f"""
         WITH {_KN_ORACLE_CTES}
         SELECT t.id AS doc_id, CAST(len(t.tk) AS INT) AS n_tokens,
@@ -4745,6 +4845,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "score_perplexity_thai": _q_score_perplexity_thai,
             "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
             "ccnet_pipeline": _q_ccnet_pipeline,
+            "classify_lang_chargram": _q_classify_lang_chargram,
             "score_trigram_kn": _q_score_trigram_kn,
             "classify_source_nb": _q_classify_source_nb,
             "perplexity_lm_filter": _q_perplexity_lm_filter,

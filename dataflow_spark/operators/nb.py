@@ -43,20 +43,43 @@ from pyspark.sql.window import Window
 from dataflow_spark.operators.lm import _track, tokens_expr
 
 
+def char_trigrams_expr(c):
+    """Character-trigram feature array (the fastText-style lang-id
+    feature space): all 3-char windows of the lowercased text. Exactly
+    replayable in SQL (1-based substr windows, identical in DuckDB)."""
+    s = F.lower(F.coalesce(c, F.lit("")))
+    n = F.length(s) - F.lit(2)
+    # guard: Spark's sequence(1, n) runs DESCENDING when n < 1
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: s.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def char_trigrams_kernel(t: str) -> list:
+    """Python twin of char_trigrams_expr for the local Arrow scorer."""
+    t = ("" if t is None else t).lower()
+    return [t[i : i + 3] for i in range(len(t) - 2)]
+
+
 def nb_train(
     df: DataFrame,
     label_col: str,
     text_col: str = "text",
     persists: list | None = None,
+    features=None,
 ):
     """→ (word_counts[label,w,c], class_stats[label,n_tok,n_docs], V,
     n_docs_total). One token explode; every other table derives from the
     cached (label, word) TYPE table or a metadata-cheap groupBy. Pass
     ``persists`` to receive the cached handle; release it with
-    ``lm.release_persists`` after materializing results."""
+    ``lm.release_persists`` after materializing results. ``features``
+    (Column → array<string>) swaps the feature space — word tokens by
+    default, e.g. ``char_trigrams_expr`` for a character-level model."""
+    feats = features or tokens_expr
     toks = df.select(
         F.col(label_col).alias("label"),
-        F.explode(tokens_expr(F.col(text_col))).alias("w"),
+        F.explode(feats(F.col(text_col))).alias("w"),
     )
     wc = _track(toks.groupBy("label", "w").agg(F.count(F.lit(1)).alias("c")), persists)
     cs = wc.groupBy("label").agg(F.sum("c").alias("n_tok"))
@@ -77,6 +100,8 @@ def nb_classify(
     round_to: int | None = 6,
     persists: list | None = None,
     local: str = "auto",
+    features=None,
+    features_kernel=None,
 ) -> DataFrame:
     """(id, pred_label, score) — the model is trained on ``df`` itself
     (labels from ``label_col``), then every row is scored against every
@@ -88,12 +113,18 @@ def nb_classify(
     pre-folded Arrow scorer (``nb_local_scorer``) — one narrow map, no
     tokens×C explode, no (label, token) shuffle — producing the
     identical values (the DuckDB oracle pins both paths). ``"never"``
-    keeps the distributed join plan, the unbounded-vocabulary path."""
-    wc, cls, v, n_total = nb_train(df, label_col, text_col, persists)
-    if local == "auto":
+    keeps the distributed join plan, the unbounded-vocabulary path.
+
+    ``features``/``features_kernel`` swap the feature space (Column →
+    array<string> expression + its Python twin for the local path);
+    supplying ``features`` without its kernel keeps the join plan."""
+    wc, cls, v, n_total = nb_train(df, label_col, text_col, persists, features)
+    if local == "auto" and (features is None or features_kernel is not None):
         head = wc.limit(NB_LOCAL_MAX_WC_ROWS + 1).collect()
         if len(head) <= NB_LOCAL_MAX_WC_ROWS:
-            udf = nb_local_scorer(head, cls.collect(), v, n_total)
+            udf = nb_local_scorer(
+                head, cls.collect(), v, n_total, tokenizer=features_kernel
+            )
             out = df.select(
                 F.col(id_col), udf(F.col(text_col)).alias("__s")
             ).select(
@@ -104,8 +135,9 @@ def nb_classify(
             if round_to is not None:
                 out = out.withColumn("score", F.round("score", round_to))
             return out
+    feats = features or tokens_expr
     toks = df.select(
-        F.col(id_col).alias("id"), tokens_expr(F.col(text_col)).alias("tk")
+        F.col(id_col).alias("id"), feats(F.col(text_col)).alias("tk")
     )
     term = toks.select("id", F.posexplode("tk").alias("pos", "w"))
     scored = (
@@ -169,7 +201,7 @@ def nb_classify(
 NB_LOCAL_MAX_WC_ROWS = 500_000
 
 
-def nb_local_scorer(wc_rows, cls_rows, v: int, n_total: int):
+def nb_local_scorer(wc_rows, cls_rows, v: int, n_total: int, tokenizer=None):
     """Shuffle-free scoring path for MODEL-ARTIFACT-SIZED count tables:
     an Arrow-batched pandas_udf ``text -> struct<pred_label, score>``
     with the whole model pre-folded into per-word log-prob VECTORS
@@ -216,17 +248,21 @@ def nb_local_scorer(wc_rows, cls_rows, v: int, n_total: int):
     cjk = re.compile(CJK_CLASS)
     ws = re.compile(r"(?a)\s+")
 
+    def _default_tokens(t):
+        t = ("" if t is None else t).lower()
+        if cjk.search(t):
+            t = cjk.sub(r" \g<0> ", t)
+        return [w for w in ws.split(t) if w]
+
+    tok = tokenizer or _default_tokens
+
     @F.pandas_udf("struct<pred_label: string, score: double>")
     def score(s: pd.Series) -> pd.DataFrame:
         preds, scores = [], []
         for t in s:
-            t = ("" if t is None else t).lower()
-            if cjk.search(t):
-                t = cjk.sub(r" \g<0> ", t)
             acc = np.zeros(len(labels))
-            for w in ws.split(t):
-                if w:
-                    acc += vecs.get(w, default)
+            for w in tok(t):
+                acc += vecs.get(w, default)
             sc = lpri + acc
             k = int(np.argmax(sc))
             preds.append(labels[k])

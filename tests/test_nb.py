@@ -71,3 +71,50 @@ def test_nb_no_python_in_plan(spark):
     a = joined.toPandas().sort_values(key).reset_index(drop=True)
     b = local.toPandas()[a.columns.tolist()].sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_nb_chargram_features(spark):
+    """Custom feature space: char-trigram NB separates classes with
+    distinct character distributions perfectly; the local Arrow path and
+    the join plan agree value-for-value; len<3 texts get the prior-only
+    argmax; trigram extraction handles the empty/short edge."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.operators.nb import (
+        char_trigrams_expr,
+        char_trigrams_kernel,
+        nb_classify,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "the quick brown fox jumps over " + f"pad{i % 7}", "latin"))
+        rows.append((1000 + i, "zzz qqq xxx vvv kkk www " + f"zz{i % 7}", "consonant"))
+    rows.append((9000, "ab", "latin"))  # < 3 chars -> prior-only
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    local = nb_classify(
+        df, "doc_id", "lang",
+        features=char_trigrams_expr, features_kernel=char_trigrams_kernel,
+    )
+    joinp = nb_classify(
+        df, "doc_id", "lang", local="never", features=char_trigrams_expr,
+    )
+    lrows = {r["doc_id"]: (r["pred_label"], r["score"]) for r in local.collect()}
+    jrows = {r["doc_id"]: (r["pred_label"], r["score"]) for r in joinp.collect()}
+    assert lrows == jrows
+
+    # trigram extraction: empty-safe
+    tk = df.filter(F.col("doc_id") == 9000).select(
+        char_trigrams_expr(F.col("text")).alias("tk")
+    ).first().tk
+    assert tk == []
+    assert char_trigrams_kernel("ab") == []
+    assert char_trigrams_kernel("abcd") == ["abc", "bcd"]
+
+    hits = sum(
+        1 for i, (p, _) in lrows.items()
+        if i != 9000 and p == ("latin" if i < 1000 else "consonant")
+    )
+    assert hits == 120
+    assert lrows[9000][0] == "latin"  # prior-only argmax (61 vs 60 docs)
