@@ -2565,6 +2565,23 @@ def _q_bm25(spark, sf):
     return bm25_topk(docs, queries, k=5, query_id="query_id")
 
 
+def _q_bm25_hard_negatives(spark, sf):
+    """BM25HardNeg (rare/generate/bm25_hard_negative.py:85-215): mine
+    num_neg=3 hard negatives per query — top BM25 hits with the query's
+    own positive document excluded before ranking. Queries are the first
+    five documents, each its own gold, so the exclusion always bites
+    (a query's best BM25 hit is itself)."""
+    from dataflow_spark.operators.retrieval import bm25_topk
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text", F.col("doc_id").alias("gold_id")
+    )
+    return bm25_topk(
+        docs, queries, k=3, query_id="query_id", gold_col="gold_id"
+    ).select("query_id", F.col("doc_id").alias("neg_doc_id"), "bm25", "rank")
+
+
 def _q_f1(spark, sf):
     from dataflow_spark.functions.eval_scorers import f1_native
 
@@ -2854,6 +2871,36 @@ _EXTRA_ORACLES = {
                      ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
           FROM scored)
         SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 5""",
+    # bm25_hard_negatives: same scoring chain, positive doc excluded
+    # BEFORE ranking (gold == query_id in this instance), top 3
+    "bm25_hard_negatives": f"""
+        WITH doc_terms AS (
+          SELECT doc_id, unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM doc_terms GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM doc_terms GROUP BY 1),
+        stats AS (SELECT count(*) AS n_docs FROM documents),
+        avg_l AS (SELECT avg(dl) AS avg_len FROM dl),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term, ln(1.0 + (CAST((SELECT n_docs FROM stats) AS DOUBLE) - df + 0.5) / (df + 0.5)) AS idf FROM dft),
+        q_terms AS (
+          SELECT doc_id AS query_id,
+                 unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+          FROM documents WHERE doc_id < 5),
+        qtf AS (SELECT query_id, term, count(*) AS qtf FROM q_terms GROUP BY 1, 2),
+        scored AS (
+          SELECT q.query_id, tf.doc_id,
+                 sum(idf.idf * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / (SELECT avg_len FROM avg_l)))) AS bm25
+          FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) JOIN qtf q USING (term)
+          GROUP BY 1, 2),
+        ranked AS (
+          SELECT query_id, doc_id, round(bm25, 6) AS bm25,
+                 row_number() OVER (PARTITION BY query_id
+                     ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
+          FROM scored WHERE doc_id <> query_id)
+        SELECT query_id, doc_id AS neg_doc_id, bm25, rank
+        FROM ranked WHERE rank <= 3""",
     "f1_score": f"""
         WITH norm AS (
           SELECT doc_id,
@@ -4877,6 +4924,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "split_recursive": _q_split_recursive,
             "split_semantic": _q_split_semantic,
             "bm25_topk": _q_bm25,
+            "bm25_hard_negatives": _q_bm25_hard_negatives,
             "f1_score": _q_f1,
             "bleu_score": _q_bleu,
             "cider_score": _q_cider,

@@ -38,7 +38,11 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     round_to: int | None = 6,
+    gold_col: str | None = None,
 ) -> DataFrame:
+    """BM25 top-k retrieval; with ``gold_col`` set (a column of
+    ``queries`` naming each query's positive document id) the positive
+    is excluded before ranking — the BM25HardNeg mining mode."""
     doc_terms = _terms(corpus, corpus_id, text_col, "doc_id")
     tf = doc_terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     doc_len = doc_terms.groupBy("doc_id").agg(F.count("*").alias("dl"))
@@ -70,6 +74,18 @@ def bm25_topk(
         .groupBy("query_id", "doc_id")
         .agg(F.sum("contrib").alias("bm25"))
     )
+    if gold_col is not None:
+        # BM25HardNeg semantics (rare/generate/bm25_hard_negative.py:63-80):
+        # the query's own positive document must never appear among its
+        # mined negatives — drop it BEFORE ranking so top-k stays full
+        golds = queries.select(
+            F.col(query_id).alias("query_id"), F.col(gold_col).alias("__gold")
+        )
+        scored = (
+            scored.join(F.broadcast(golds), "query_id")
+            .filter(F.col("doc_id") != F.col("__gold"))
+            .drop("__gold")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
     out = (
         scored.withColumn("bm25", F.round("bm25", round_to) if round_to else F.col("bm25"))

@@ -193,3 +193,34 @@ def test_hist_quantiles_close_to_exact(spark):
     for g, e in zip(got, exact):
         assert abs(g - e) <= 1.0 / _HIST_B + 1e-12, (g, e)
     assert got == sorted(got)
+
+
+def test_bm25_hard_negatives_excludes_gold(spark):
+    """The mined negatives never contain the query's positive doc, ranks
+    are dense from 1, and the negatives are exactly the best-scoring
+    non-gold documents (cross-checked vs unrestricted top-k)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.operators.retrieval import bm25_topk
+
+    rows = [(i, f"shared tokens alpha beta w{i % 4} w{(i * 3) % 7}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = docs.filter(F.col("doc_id") < 4).select(
+        F.col("doc_id").alias("query_id"), "text", F.col("doc_id").alias("gold_id")
+    )
+    negs = bm25_topk(docs, queries, k=3, query_id="query_id", gold_col="gold_id").collect()
+    full = bm25_topk(docs, queries, k=4, query_id="query_id").collect()
+
+    by_q = {}
+    for r in negs:
+        assert r["doc_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["doc_id"]))
+    for q, lst in by_q.items():
+        assert sorted(x[0] for x in lst) == [1, 2, 3]
+        expect = [
+            r["doc_id"] for r in sorted(
+                (x for x in full if x["query_id"] == q),
+                key=lambda x: x["rank"],
+            ) if r["doc_id"] != q
+        ][:3]
+        assert [d for _, d in sorted(lst)] == expect
