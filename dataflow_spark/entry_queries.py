@@ -1018,6 +1018,41 @@ def _q_score_lang_id(spark, sf):
     return df.select("doc_id", S.lang_id_native(F.col("text")).alias("lang_pred"))
 
 
+def _q_score_distinct_n(spark, sf):
+    """Corpus-level distinct-1/distinct-2 per source (Li et al. 2016,
+    the generation-diversity staple the reference's Vendi/Task2Vec
+    family sits beside): |distinct n-grams| / |n-grams|. One explode +
+    one combinable count-distinct aggregate per n — corpus-size state
+    never leaves the executors."""
+    df = _t(spark, sf, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+"),
+        lambda x: x != "",
+    )
+    uni = df.select("source", F.explode(toks).alias("g"))
+    bi = df.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    d1 = uni.groupBy("source").agg(
+        F.round(F.countDistinct("g") / F.count("g"), 9).alias("distinct_1")
+    )
+    d2 = bi.groupBy("source").agg(
+        F.round(F.countDistinct("g") / F.count("g"), 9).alias("distinct_2")
+    )
+    return d1.join(d2, "source", "left")
+
+
 def _q_quality_signals(spark, sf):
     """Dolma/RedPajama-style fused signal bundle (stats.
     quality_signals_exprs): eleven per-document quality signals — each
@@ -1134,6 +1169,25 @@ _SCORER_ORACLES = {
           FROM g)
         SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w""",
 }
+
+_SCORER_ORACLES["score_distinct_n"] = f"""
+    WITH tk AS (SELECT source,
+                       list_transform({_TOKS}, x -> lower(x)) AS toks
+                FROM documents),
+    uni AS (SELECT source, unnest(toks) AS g FROM tk),
+    bi AS (SELECT source, u.g FROM tk,
+           unnest(CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])
+                  ELSE [] END) AS u(g)),
+    d1 AS (SELECT source,
+                  round(count(DISTINCT g) * 1.0 / count(g), 9) AS distinct_1
+           FROM uni GROUP BY source),
+    d2 AS (SELECT source,
+                  round(count(DISTINCT g) * 1.0 / count(g), 9) AS distinct_2
+           FROM bi GROUP BY source)
+    SELECT d1.source, d1.distinct_1, d2.distinct_2
+    FROM d1 LEFT JOIN d2 USING (source)"""
 
 # quality_signals: the fused bundle replays every member signal's oracle
 # expression over ONE shared token CTE pair (toks = whitespace tokens,
@@ -4875,6 +4929,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "answer_token_length_filter_bpe": _q_answer_token_length_filter_bpe,
             "score_quality": _q_score_quality,
             "quality_signals": _q_quality_signals,
+            "score_distinct_n": _q_score_distinct_n,
             "score_lang_id": _q_score_lang_id,
             "score_fingerprint": _q_score_fingerprint,
             "score_lexical_diversity": _q_score_lexdiv,
