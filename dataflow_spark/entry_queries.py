@@ -2636,6 +2636,14 @@ def _q_bm25_hard_negatives(spark, sf):
     ).select("query_id", F.col("doc_id").alias("neg_doc_id"), "bm25", "rank")
 
 
+def _q_tfidf_top_terms(spark, sf):
+    """Per-doc top-3 TF-IDF keywords (retrieval.tfidf_top_terms)."""
+    from dataflow_spark.operators.retrieval import tfidf_top_terms
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return tfidf_top_terms(docs, k=3)
+
+
 def _q_f1(spark, sf):
     from dataflow_spark.functions.eval_scorers import f1_native
 
@@ -2925,6 +2933,24 @@ _EXTRA_ORACLES = {
                      ORDER BY round(bm25, 6) DESC, doc_id ASC) AS rank
           FROM scored)
         SELECT query_id, doc_id, bm25, rank FROM ranked WHERE rank <= 5""",
+    "tfidf_top_terms": f"""
+        WITH doc_terms AS (
+          SELECT doc_id, unnest(list_transform({_TOKS}, x -> lower(x))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM doc_terms GROUP BY 1, 2),
+        stats AS (SELECT count(*) AS n_docs FROM documents),
+        dft AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        idf AS (SELECT term,
+                       ln(CAST((SELECT n_docs FROM stats) AS DOUBLE) / df) AS idf
+                FROM dft),
+        scored AS (SELECT tf.doc_id, tf.term,
+                          round(tf.tf * idf.idf, 9) AS tfidf
+                   FROM tf JOIN idf USING (term)),
+        ranked AS (SELECT doc_id, term, tfidf,
+                          row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, term ASC) AS rank
+                   FROM scored)
+        SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3""",
     # bm25_hard_negatives: same scoring chain, positive doc excluded
     # BEFORE ranking (gold == query_id in this instance), top 3
     "bm25_hard_negatives": f"""
@@ -4980,6 +5006,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "split_semantic": _q_split_semantic,
             "bm25_topk": _q_bm25,
             "bm25_hard_negatives": _q_bm25_hard_negatives,
+            "tfidf_top_terms": _q_tfidf_top_terms,
             "f1_score": _q_f1,
             "bleu_score": _q_bleu,
             "cider_score": _q_cider,

@@ -94,3 +94,37 @@ def bm25_topk(
         .select("query_id", "doc_id", "bm25", "rank")
     )
     return out
+
+
+def tfidf_top_terms(
+    corpus: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-document top-k salient terms by TF-IDF (idf = ln(N/df)) — the
+    classic keyword-extraction / document-tagging primitive next to the
+    BM25 machinery above. One token explode, two combinable count
+    aggregates (term df is vocabulary-sized, never corpus-sized), a
+    broadcast idf join back, and a per-doc top-k window (bounded by each
+    document's distinct-term count, not the corpus). Ranking compares
+    round-``round_to`` products of an exact integer tf and an
+    IEEE-identical ln, term-ascending ties — deterministic across
+    engines and layouts."""
+    terms = _terms(corpus, id_col, text_col, "doc_id")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = corpus.count()
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_t.select(
+        "term", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.col("idf"), round_to)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("doc_id").alias(id_col), "term", "tfidf", "rank")
+    )
