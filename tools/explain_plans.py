@@ -54,6 +54,13 @@ HEADLINE = [
     "ccnet_pipeline",
     "dedup_semdedup_kmeans",
     "quality_signals",
+    "paragraph_dedup_global",
+    "curriculum_pack_shards",
+    "hist_quantiles_quality",
+    "classify_lang_chargram",
+    "bm25_hard_negatives",
+    "tfidf_top_terms",
+    "score_distinct_n",
     "pack_token_shards",
     "mixture_sample_sources",
     "gopher_top_bigram_char",
