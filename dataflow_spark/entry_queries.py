@@ -4509,6 +4509,17 @@ def _q_decontaminate_ngram(spark, sf):
     return contaminated_docs(corpus, bench, n=8)
 
 
+def _q_crossdoc_ngram_overlap(spark, sf):
+    """Per-doc cross-document 5-gram duplication rate (the Lee 2021
+    corpus-audit statistic; decontaminate.crossdoc_ngram_overlap). n=5
+    keeps the statistic non-vacuous on the synthetic word-soup corpus
+    (at n=8 nearly every gram is unique and every fraction 0)."""
+    from dataflow_spark.operators.decontaminate import crossdoc_ngram_overlap
+
+    docs = _t(spark, sf, "documents").select("doc_id", "text")
+    return crossdoc_ngram_overlap(docs, n=5)
+
+
 def _q_gopher_top_bigram_char(spark, sf):
     """Gopher repetition rule (Rae et al. 2021 table A1): fraction of
     non-whitespace characters covered by the most frequent word bigram;
@@ -4914,6 +4925,20 @@ _DECONTAM_ORACLES = {
         SELECT doc_id, round(c * (length(ng) - 1) * 1.0 / ch, 9) AS metric
         FROM top
         WHERE rn = 1 AND ch > 0 AND c * (length(ng) - 1) * 1.0 / ch <= 0.2""",
+    "crossdoc_ngram_overlap": """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text,'')), '\\s+'),
+                             x -> x <> '') AS t
+          FROM documents),
+        g AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS ng
+              FROM toks, unnest(range(1, len(t)-3)) AS u(i) WHERE len(t) >= 5),
+        nd AS (SELECT ng, count(DISTINCT doc_id) AS nd FROM g GROUP BY ng)
+        SELECT g.doc_id, count(*) AS n_grams,
+               round(sum(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) * 1.0
+                     / count(*), 9) AS dup_gram_frac
+        FROM g JOIN nd USING (ng)
+        GROUP BY g.doc_id""",
 }
 
 
@@ -4938,6 +4963,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dedup_ngram_chunks": _q_dedup_ngram_chunks,
             "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
             "decontaminate_ngram": _q_decontaminate_ngram,
+            "crossdoc_ngram_overlap": _q_crossdoc_ngram_overlap,
             "gopher_top_bigram_char": _q_gopher_top_bigram_char,
             "dsir_logweights": _q_dsir_logweights,
             "dsir_select_gumbel": _q_dsir_select_gumbel,

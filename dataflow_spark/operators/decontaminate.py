@@ -77,3 +77,42 @@ def decontaminate(
     contamination set)."""
     hits = contaminated_docs(corpus, benchmark, text_col, id_col, n)
     return corpus.join(hits.select(id_col), id_col, "left_anti")
+
+
+def crossdoc_ngram_overlap(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-document cross-document n-gram duplication rate — the corpus
+    audit statistic of the dedup literature (Lee et al. 2021 §5 reports
+    corpora by the fraction of n-grams that recur): for each doc, the
+    fraction of its n-gram POSITIONS whose gram also occurs in at least
+    one OTHER document. Distinct from ``contaminated_docs`` (external
+    benchmark) and from the dedup operators (which mutate the corpus) —
+    this one measures, so you can quantify duplication before deciding
+    how hard to dedup.
+
+    Scale shape: explode positions map-side → one combinable
+    count-distinct aggregate per gram (state is the gram vocabulary,
+    not the corpus) → co-partitioned join of positions to gram
+    doc-counts → per-doc ratio. Docs shorter than n have no n-grams and
+    report NULL."""
+    grams = _ngrams(corpus.select(id_col, text_col), text_col, n, "__ng")
+    gdocs = grams.groupBy("__ng").agg(
+        F.count_distinct(id_col).alias("__nd")
+    )
+    return (
+        grams.join(gdocs, "__ng")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("__nd") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("dup_gram_frac"),
+        )
+    )
