@@ -81,6 +81,9 @@ class TranscriptsApp:
         self.scored_sink = KeyedMergeSink(
             os.path.join(self.out_dir, "scored"), keys=("conv_id", "turn_idx")
         )
+        self.signals_sink = KeyedMergeSink(
+            os.path.join(self.out_dir, "signal_metrics"), keys=("batch_id",)
+        )
 
     def _models_dir(self) -> str:
         return os.path.join(self.out_dir, "models")
@@ -281,6 +284,38 @@ class TranscriptsApp:
         )
         return self.score_df(static)
 
+    @staticmethod
+    def signal_summary_df(bdf, batch_id: int):
+        """One summary row of the fused quality-signal bundle
+        (stats.quality_signals_exprs) over a micro-batch — live
+        corpus-drift observability: a long-running ingest watches these
+        rows to catch a quality/language/length shift in the source the
+        moment a batch lands, without re-scanning the accumulated corpus.
+        Every statistic is ADDITIVE (counts and sums, no means), so any
+        window of batches recombines exactly to the batch-mode value
+        over the same rows; means are derived at read time."""
+        from pyspark.sql import functions as F
+
+        from dataflow_spark.functions.stats import quality_signals_exprs
+
+        sig = quality_signals_exprs(F.col("text"))
+        proj = bdf.select(
+            sig["n_words"].alias("nw"),
+            sig["n_chars"].alias("nc"),
+            sig["quality"].alias("q"),
+            sig["stopword_ratio"].alias("sw"),
+            sig["lang_pred"].alias("lp"),
+        )
+        return proj.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("nw").alias("sum_words"),
+            F.sum("nc").alias("sum_chars"),
+            F.sum("q").alias("sum_quality"),
+            F.count("sw").alias("n_with_tokens"),
+            F.sum("sw").alias("sum_stopword_ratio"),
+            F.sum(F.when(F.col("lp") == "en", 1).otherwise(0)).alias("n_en"),
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+
     def start(self, spark: SparkSession, available_now: bool = True):
         listener = JsonlMetricsListener(os.path.join(self.out_dir, "metrics.jsonl"))
         spark.streams.addListener(listener)
@@ -368,7 +403,24 @@ class TranscriptsApp:
             .trigger(**trigger)
             .start()
         )
-        return [q1, q2, q3, q4, q5]
+
+        # 6. signal metrics: one additive summary row of the fused
+        # quality-signal bundle per micro-batch, exactly-once by batch_id
+        to_signal = apply_refiners(stream(), self.refiners)
+
+        def _signal_batch(bdf, batch_id):
+            self.signals_sink.foreach_batch(
+                self.signal_summary_df(bdf, batch_id), batch_id
+            )
+
+        q6 = (
+            to_signal.writeStream.queryName("signals")
+            .foreachBatch(_signal_batch)
+            .option("checkpointLocation", os.path.join(self.out_dir, "ck_signals"))
+            .trigger(**trigger)
+            .start()
+        )
+        return [q1, q2, q3, q4, q5, q6]
 
     def run_to_completion(self, spark: SparkSession, timeout: int = 600):
         queries = self.start(spark, available_now=True)
@@ -381,4 +433,7 @@ class TranscriptsApp:
             "pairs": sum(r["rows"] for r in self.pairs_sink.lineage()),
             "deduped": sum(r["rows"] for r in self.dedup_sink.lineage()),
             "scored": sum(r["rows"] for r in self.scored_sink.lineage()),
+            "signal_batches": sum(
+                r["rows"] for r in self.signals_sink.lineage()
+            ),
         }

@@ -66,9 +66,33 @@ def test_transcripts_app_end_to_end(spark, tmp_path):
         app.pairs_sink,
         app.dedup_sink,
         app.scored_sink,
+        app.signals_sink,
     ):
         lin = sink.lineage()
         assert lin and all("partition_rows" in r for r in lin)
+
+    # signal-metrics stage: one additive summary row per micro-batch;
+    # the per-batch sums recombine to the batch-mode aggregation over the
+    # same corpus (additivity is the contract — means are derived later)
+    import pandas as pd
+    import pytest as _pt
+
+    sm = app.signals_sink.read_table(spark).toPandas()
+    assert sm["batch_id"].is_unique and len(sm) >= 1
+    from dataflow_spark.functions.refiners import apply_refiners
+    from dataflow_spark.schemas import TRANSCRIPTS
+
+    whole = apply_refiners(
+        spark.read.schema(TRANSCRIPTS).parquet(src), app.refiners
+    )
+    twin = app.signal_summary_df(whole, -1).toPandas().iloc[0]
+    assert int(sm["n_rows"].sum()) == int(twin["n_rows"])
+    assert int(sm["sum_words"].sum()) == int(twin["sum_words"])
+    assert int(sm["n_en"].sum()) == int(twin["n_en"])
+    assert sm["sum_quality"].sum() == _pt.approx(twin["sum_quality"], rel=1e-9)
+    assert sm["sum_stopword_ratio"].sum() == _pt.approx(
+        twin["sum_stopword_ratio"], rel=1e-9
+    )
 
 
 def test_scored_models_artifact_roundtrip(spark, tmp_path):
