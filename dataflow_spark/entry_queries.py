@@ -4558,6 +4558,25 @@ def _q_gopher_top_bigram_char(spark, sf):
 # removal; see operators/dedup.py dedup_lines_global for the plan notes)
 
 
+def _q_refine_c4_lines_doc(spark, sf):
+    """The C4 per-page line rules (Raffel 2020 §2.2) composed: within-doc
+    first-occurrence line dedup, then keep only lines ending in terminal
+    punctuation. Runs on a derived multi-line corpus where ' value ' →
+    '.\\n' — every line except each doc's last ends in '.', so the punct
+    rule produces a real mix of kept and dropped lines. Both refiners are
+    single native expressions (split → indexed-lambda filter → rejoin),
+    zero shuffle, zero Python."""
+    docs = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.expr(
+            "replace(coalesce(text, ''), ' value ', '.' || chr(10))"
+        ).alias("text"),
+    )
+    r1 = REFINERS["dedup_doc_lines"].native
+    r2 = REFINERS["c4_line_punct"].native
+    return docs.select("doc_id", r2(r1(F.col("text"))).alias("text"))
+
+
 def _q_line_dedup_global(spark, sf):
     """Corpus-wide first-wins exact line dedup. The fixed tables carry
     single-line texts, so multi-line documents are synthesized
@@ -4647,6 +4666,23 @@ _LINE_DEDUP_ORACLE = {
                  SELECT doc_id, pos, line FROM rk WHERE rn = 1)
         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
         FROM kept GROUP BY doc_id""",
+    "refine_c4_lines_doc": """
+        WITH src AS (SELECT doc_id,
+                            replace(coalesce(text, ''), ' value ',
+                                    '.' || chr(10)) AS text
+                     FROM documents),
+        d1 AS (SELECT doc_id,
+                      array_to_string(
+                        list_filter(string_split(text, chr(10)),
+                          (x, i) -> list_position(string_split(text, chr(10)), x) = i),
+                        chr(10)) AS text
+               FROM src)
+        SELECT doc_id,
+               coalesce(array_to_string(
+                 list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(x, '[.!?]"?\\s*$')),
+                 chr(10)), '') AS text
+        FROM d1""",
     "paragraph_dedup_global": """
         WITH src AS (SELECT doc_id,
                             replace(coalesce(text, ''), ' merge ',
@@ -4969,6 +5005,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dsir_select_gumbel": _q_dsir_select_gumbel,
             "line_dedup_global": _q_line_dedup_global,
             "paragraph_dedup_global": _q_paragraph_dedup_global,
+            "refine_c4_lines_doc": _q_refine_c4_lines_doc,
             "dedup_substrings_global": _q_dedup_substrings,
             "pack_token_shards": _q_pack_token_shards,
             "curriculum_pack_shards": _q_curriculum_pack_shards,

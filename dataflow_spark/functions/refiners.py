@@ -380,9 +380,62 @@ def _k_spelling(s: pd.Series) -> pd.Series:
     return s.map(lambda t: correct_text(t, sym), na_action="ignore")
 
 
+def _k_dedup_doc_lines(s: pd.Series) -> pd.Series:
+    """Per-document line dedup, first occurrence wins (the C4 within-page
+    repeated-line rule — boilerplate repeats inside one page too)."""
+
+    def one(t):
+        if t is None:
+            return None
+        seen, out = set(), []
+        for ln in t.split("\n"):
+            if ln not in seen:
+                seen.add(ln)
+                out.append(ln)
+        return "\n".join(out)
+
+    return s.map(one)
+
+
+def _n_dedup_doc_lines(c: Column) -> Column:
+    # keep line i iff its FIRST occurrence index is i — array_position is
+    # 1-based, the filter lambda index 0-based
+    ls = F.split(c, "\n", -1)
+    return F.array_join(
+        F.filter(ls, lambda x, i: F.array_position(ls, x) == i + 1), "\n"
+    )
+
+
+_C4_PUNCT_RE = r'[.!?]"?\s*$'
+
+
+def _k_c4_line_punct(s: pd.Series) -> pd.Series:
+    """C4's terminal-punctuation line rule (Raffel 2020 §2.2): keep only
+    lines ending in . ! or ? (optionally a closing quote)."""
+    import re
+
+    pat = re.compile(_C4_PUNCT_RE)
+
+    def one(t):
+        if t is None:
+            return None
+        return "\n".join(ln for ln in t.split("\n") if pat.search(ln))
+
+    return s.map(one)
+
+
+def _n_c4_line_punct(c: Column) -> Column:
+    ls = F.split(c, "\n", -1)
+    return F.array_join(F.filter(ls, lambda x: x.rlike(_C4_PUNCT_RE)), "\n")
+
+
 REFINERS: dict[str, Refiner] = {
     r.name: r
     for r in [
+        Refiner("dedup_doc_lines", _k_dedup_doc_lines, _n_dedup_doc_lines,
+                "per-doc line dedup, first occurrence wins (C4)"),
+        Refiner("c4_line_punct", _k_c4_line_punct, _n_c4_line_punct,
+                "keep only lines ending in terminal punctuation (C4)"),
         Refiner("remove_extra_spaces", _k_remove_extra_spaces, _n_remove_extra_spaces,
                 "collapse all whitespace runs to single spaces, trim ends"),
         Refiner("remove_emoji", _k_remove_emoji, _n_remove_emoji,

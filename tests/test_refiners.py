@@ -353,3 +353,40 @@ def test_redact_pii_fuzz_duckdb():
     ).df()["o"].tolist()
     for i, c in enumerate(cases):
         assert duck[i] == kernel[i], f"case {i}: {c!r}"
+
+
+def test_c4_line_refiners(spark):
+    """dedup_doc_lines keeps first occurrences in order; c4_line_punct
+    keeps only terminal-punctuation lines; native == kernel on both."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dataflow_spark.functions.refiners import REFINERS
+
+    cases = [
+        "keep me.\nkeep me.\nother line!\nno punct line\nkeep me.",
+        "single line no punct",
+        'quoted end."\nbare',
+        "",
+        None,
+    ]
+    dd, cp = REFINERS["dedup_doc_lines"], REFINERS["c4_line_punct"]
+
+    k1 = dd.kernel(pd.Series(cases)).tolist()
+    assert k1[0] == "keep me.\nother line!\nno punct line"
+    k2 = cp.kernel(pd.Series(k1)).tolist()
+    assert k2[0] == "keep me.\nother line!"
+    assert k2[1] == ""
+    assert k2[2] == 'quoted end."'
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, t string"
+    )
+    got = {
+        r["i"]: r["o"]
+        for r in df.select(
+            "i", cp.native(dd.native(F.col("t"))).alias("o")
+        ).collect()
+    }
+    for i, want in enumerate(k2):
+        assert got[i] == want, (i, got[i], want)
