@@ -61,6 +61,8 @@ HEADLINE = [
     "bm25_hard_negatives",
     "tfidf_top_terms",
     "score_distinct_n",
+    "crossdoc_ngram_overlap",
+    "refine_c4_lines_doc",
     "pack_token_shards",
     "mixture_sample_sources",
     "gopher_top_bigram_char",
