@@ -1926,7 +1926,30 @@ _U01 = (
     " 1, 8))::BIGINT / 4294967296.0)"
 )
 
+def _q_assign_splits(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment by row-key hash
+    (sampling.assign_hash_splits) — reproducible, repartition-immune,
+    and stable as the corpus grows."""
+    from dataflow_spark.operators.sampling import assign_hash_splits
+
+    df = _t(spark, sf, "documents").select("doc_id", "source")
+    return assign_hash_splits(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9
+    )
+
+
+_U01_S9 = (
+    "(('0x' || substr(md5('9' || chr(31) || coalesce(CAST(doc_id AS VARCHAR), '')),"
+    " 1, 8))::BIGINT / 4294967296.0)"
+)
+
 _SAMPLING_ORACLES = {
+    "assign_hash_splits": f"""
+        SELECT doc_id, source,
+               CASE WHEN {_U01_S9} < 0.8 THEN 'train'
+                    WHEN {_U01_S9} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents""",
     "sample_hash_fraction": f"""
         SELECT doc_id, text FROM documents WHERE {_U01} < 0.35""",
     "stratified_sample": f"""
@@ -5046,6 +5069,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "answer_judger_math": _q_answer_judger_math,
             "sql_execution_match": _q_sql_execution_match,
             "sample_hash_fraction": _q_sample_hash_fraction,
+            "assign_hash_splits": _q_assign_splits,
             "stratified_sample": _q_stratified_sample,
             "cap_per_source": _q_cap_per_source,
             "pricing_summary": _q_pricing_summary,

@@ -86,3 +86,31 @@ def cap_per_key(
         .filter(F.col("__rn") <= quota)
         .drop("__rn")
     )
+
+
+def assign_hash_splits(
+    df: DataFrame,
+    key_cols: list[str],
+    splits: dict[str, float],
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row's md5-uniform
+    draw lands in one of the cumulative ``splits`` bands (fractions must
+    sum to ~1; the last band absorbs rounding). The split is a pure
+    function of the row key — reproducible across runs, clusters, and
+    retries, immune to repartitioning, and new rows join a split without
+    reshuffling old ones (the property a growing 100-TB corpus needs —
+    a random-split column materialized once cannot give it). Zero
+    shuffle: one codegen'd CASE over the hash."""
+    u = _md5_u01(key_cols, seed)
+    names = list(splits)
+    edges: list[float] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += float(splits[name])
+        edges.append(acc)
+    expr = F.lit(names[-1])
+    for name, edge in zip(reversed(names[:-1]), reversed(edges)):
+        expr = F.when(u < F.lit(edge), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -63,3 +63,33 @@ def test_cap_per_key_keeps_earliest(spark):
         i = int(src.replace("src", ""))
         expected = [i + 7 * j for j in range(12)]
         assert sorted(grp.doc_id) == expected
+
+
+def test_assign_hash_splits_properties(spark):
+    """Split shares land near targets, assignment is a pure function of
+    the key (repartition- and subset-invariant), and bands are exhaustive."""
+    from collections import Counter
+
+    from dataflow_spark.operators.sampling import assign_hash_splits
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = assign_hash_splits(
+        df, ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9
+    ).collect()
+    shares = Counter(r["split"] for r in out)
+    assert abs(shares["train"] / 5000 - 0.8) < 0.03
+    assert abs(shares["val"] / 5000 - 0.1) < 0.02
+    assert abs(shares["test"] / 5000 - 0.1) < 0.02
+
+    base = {r["doc_id"]: r["split"] for r in out}
+    re_out = assign_hash_splits(
+        df.repartition(13), ["doc_id"], {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=9,
+    ).collect()
+    assert {r["doc_id"]: r["split"] for r in re_out} == base
+    # a grown corpus leaves old rows' splits untouched
+    sub = assign_hash_splits(
+        df.filter("doc_id < 1000"), ["doc_id"],
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9,
+    ).collect()
+    assert all(base[r["doc_id"]] == r["split"] for r in sub)
