@@ -207,6 +207,7 @@ def main() -> None:
         "dsir_logweights",
         "dedup_semdedup_kmeans",
         "ccnet_pipeline",
+        "gopher_pipeline",
         "quality_signals",
     ]
     timings: dict[str, float] = {}

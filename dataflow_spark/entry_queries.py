@@ -24,7 +24,11 @@ from pyspark.sql.window import Window
 
 from dataflow_spark.functions import text as X
 from dataflow_spark.functions import scorers as S
-from dataflow_spark.functions.filters import FILTERS, with_filter_columns
+from dataflow_spark.functions.filters import (
+    FILTERS,
+    apply_filters,
+    with_filter_columns,
+)
 from dataflow_spark.functions.refiners import REFINERS
 from dataflow_spark.operators import dedup as D
 from dataflow_spark.operators import lm as LM
@@ -4543,6 +4547,36 @@ def _q_crossdoc_ngram_overlap(spark, sf):
     return crossdoc_ngram_overlap(docs, n=5)
 
 
+def _q_gopher_pipeline(spark, sf):
+    """The MassiveText/Gopher quality pipeline (Rae 2021 A1.1-A1.3)
+    composed end-to-end as one lazy plan: repetition rules
+    (dup_line_frac, dup_para_frac <= 0.30) → document-shape rules
+    (word_number, mean_word_length, symbol_word_ratio) → exact dedup
+    (first-wins md5) → quality-score floor (>= 0.75). Runs on the
+    planted multi-line corpus (so the repetition rules bite) augmented
+    with exact clone docs (doc_id+100000 for doc_id < 30 — so the dedup
+    stage bites too; originals must win). Every stage is the
+    already-oracled operator; the chain is zero-Python, and its only
+    shuffle is the dedup hash aggregate."""
+    base = _planted_multiline_docs(spark, sf)
+    clones = base.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(clones)
+    filtered = apply_filters(
+        docs,
+        ["dup_line_frac", "dup_para_frac", "word_number",
+         "mean_word_length", "symbol_word_ratio"],
+    )
+    deduped = D.dedup_exact(filtered, ["text"], "doc_id", algo="md5")
+    q = F.round(S.quality_score_native(F.col("text")), 9)
+    return (
+        deduped.withColumn("quality", q)
+        .filter(F.col("quality") >= 0.75)
+        .select("doc_id", "quality")
+    )
+
+
 def _q_gopher_top_bigram_char(spark, sf):
     """Gopher repetition rule (Rae et al. 2021 table A1): fraction of
     non-whitespace characters covered by the most frequent word bigram;
@@ -4984,6 +5018,53 @@ _DECONTAM_ORACLES = {
         SELECT doc_id, round(c * (length(ng) - 1) * 1.0 / ch, 9) AS metric
         FROM top
         WHERE rn = 1 AND ch > 0 AND c * (length(ng) - 1) * 1.0 / ch <= 0.2""",
+    # gopher_pipeline: the five keep-rules, the md5 first-wins dedup, and
+    # the quality floor replayed as one chained query over the planted
+    # corpus + exact clone docs
+    "gopher_pipeline": f"""
+        WITH plant AS (SELECT * FROM {_DUP_PLANT_SQL}),
+        src AS (SELECT * FROM plant
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text
+                FROM plant WHERE doc_id < 30),
+        m AS (SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> regexp_matches(l, '\\S')) AS lines,
+                     list_filter(regexp_split_to_array(text, '\\n{{2,}}'),
+                                 l -> regexp_matches(l, '\\S')) AS paras,
+                     {_TOKS} AS toks,
+                     length(regexp_replace(coalesce(text,''), '\\s', '', 'g')) AS nschars,
+                     len(regexp_extract_all(coalesce(text,''), '#'))
+                     + len(regexp_extract_all(coalesce(text,''), '\\.\\.\\.'))
+                     + len(regexp_extract_all(coalesce(text,''), '…')) AS sym
+              FROM src),
+        keep AS (SELECT doc_id, text, toks, sym FROM m
+                 WHERE len(lines) > 0
+                   AND 1.0 - len(list_distinct(lines)) * 1.0 / len(lines) <= 0.30
+                   AND len(paras) > 0
+                   AND 1.0 - len(list_distinct(paras)) * 1.0 / len(paras) <= 0.30
+                   AND len(toks) >= 20 AND len(toks) < 100000
+                   AND nschars * 1.0 / len(toks) >= 3.0
+                   AND nschars * 1.0 / len(toks) < 10.0
+                   AND sym * 1.0 / len(toks) < 0.4),
+        dd AS (SELECT doc_id, toks, sym FROM (
+                 SELECT *, row_number() OVER (
+                     PARTITION BY md5(coalesce(text, ''))
+                     ORDER BY doc_id) AS rn
+                 FROM keep) WHERE rn = 1),
+        h AS (SELECT doc_id, len(toks) AS n, sym,
+                     len(list_filter(toks, x -> list_contains({_SW_SQL}, lower(x)))) AS stop_hits,
+                     len(list_filter(toks, x -> upper(x) = x AND regexp_matches(x, '[A-Za-z]'))) AS caps
+              FROM dd),
+        q AS (SELECT doc_id,
+                     round(CASE WHEN n > 0 THEN
+                       0.3 * least(1.0, n / 50.0)
+                     + 0.3 * least(1.0, 5.0 * (stop_hits / CAST(n AS DOUBLE)))
+                     + 0.2 * (1.0 - caps / CAST(n AS DOUBLE))
+                     + 0.2 * greatest(0.0, 1.0 - 10.0 * (sym / CAST(n AS DOUBLE)))
+                     ELSE 0.0 END, 9) AS quality
+              FROM h)
+        SELECT doc_id, quality FROM q WHERE quality >= 0.75""",
     "crossdoc_ngram_overlap": """
         WITH toks AS (
           SELECT doc_id,
@@ -5024,6 +5105,7 @@ def build_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "decontaminate_ngram": _q_decontaminate_ngram,
             "crossdoc_ngram_overlap": _q_crossdoc_ngram_overlap,
             "gopher_top_bigram_char": _q_gopher_top_bigram_char,
+            "gopher_pipeline": _q_gopher_pipeline,
             "dsir_logweights": _q_dsir_logweights,
             "dsir_select_gumbel": _q_dsir_select_gumbel,
             "line_dedup_global": _q_line_dedup_global,

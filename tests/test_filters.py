@@ -47,3 +47,29 @@ def test_no_python_in_native_plan(corpus_df, name):
     """Native filters must stay JVM-side (whole-stage codegen eligible)."""
     plan = with_filter_columns(corpus_df, name, mode="native")._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_gopher_pipeline_stages_bite(spark):
+    """The composed Gopher chain: clone docs never survive (first-wins
+    dedup), every survivor obeys the quality floor, and each filter stage
+    removes something on the planted corpus."""
+    from dataflow_spark.entry_queries import (
+        _planted_multiline_docs,
+        _q_gopher_pipeline,
+    )
+    from dataflow_spark.functions.filters import apply_filters
+
+    sf = "/root/testdata/sf0.001"
+    out = _q_gopher_pipeline(spark, sf).collect()
+    assert out and all(r["quality"] >= 0.75 for r in out)
+    assert all(r["doc_id"] < 100000 for r in out)  # clones all dropped
+
+    base = _planted_multiline_docs(spark, sf)
+    n0 = base.count()
+    n1 = apply_filters(
+        base,
+        ["dup_line_frac", "dup_para_frac", "word_number",
+         "mean_word_length", "symbol_word_ratio"],
+    ).count()
+    assert 0 < n1 < n0          # the rep/shape rules bite
+    assert 0 < len(out) < n1    # the quality floor bites

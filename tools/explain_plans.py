@@ -63,6 +63,8 @@ HEADLINE = [
     "score_distinct_n",
     "crossdoc_ngram_overlap",
     "refine_c4_lines_doc",
+    "gopher_pipeline",
+    "assign_hash_splits",
     "pack_token_shards",
     "mixture_sample_sources",
     "gopher_top_bigram_char",
