@@ -166,3 +166,24 @@ def test_scored_local_scorer_parity_and_dispatch(spark, tmp_path):
     app._maybe_build_local_scorer()
     assert app._local_scorer is None
     app.release_models()
+
+
+def test_signal_metrics_replay_is_noop(spark, tmp_path):
+    """A replayed micro-batch (same batch_id after a crash-restart) must
+    not duplicate its summary row — the signals sink is keyed by
+    batch_id and guarded by the commit log."""
+    import pandas as pd
+
+    from dataflow_spark.streaming.app import TranscriptsApp
+    from dataflow_spark.streaming.sink import KeyedMergeSink
+
+    sink = KeyedMergeSink(str(tmp_path / "sig"), keys=("batch_id",))
+    df = spark.createDataFrame(
+        pd.DataFrame({"text": ["the quick brown fox.", "short", None]})
+    )
+    row = TranscriptsApp.signal_summary_df(df, 7)
+    sink.foreach_batch(row, 7)
+    sink.foreach_batch(TranscriptsApp.signal_summary_df(df, 7), 7)  # replay
+    got = sink.read_table(spark).toPandas()
+    assert len(got) == 1 and int(got.iloc[0]["batch_id"]) == 7
+    assert int(got.iloc[0]["n_rows"]) == 3
