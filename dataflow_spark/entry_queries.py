@@ -40,6 +40,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _par(df: DataFrame) -> DataFrame:
+    """Widen a single-row-group scan before a CPU-heavy per-row chain
+    (sparkutil.widen_for_compute). Applied ONLY to queries whose output
+    is partitioning-invariant: per-row projections, exact-integer
+    aggregations, decimal sums, and ordered per-row FP folds."""
+    from dataflow_spark.functions.sparkutil import widen_for_compute
+
+    return widen_for_compute(df)
+
+
 # --------------------------------------------------------------- SQL helpers
 
 _PUNCT_SQL = X.PUNCTUATION.replace("'", "''")
@@ -891,7 +901,7 @@ WHERE d.vec_id NOT IN (SELECT id FROM scan)
 # ------------------------------------------------------------------ scorers
 
 def _q_score_ngram(spark, sf):
-    df = _t(spark, sf, "documents")
+    df = _par(_t(spark, sf, "documents"))
     return df.select("doc_id", F.round(S.ngram_score_native(F.col("text")), 9).alias("ngram_score"))
 
 
@@ -916,10 +926,13 @@ def _q_score_token_count_bpe(spark, sf):
     nested codegen'd string replaces. The oracle re-derives the ENTIRE
     training loop in SQL (one unrolled pair-count CTE per merge), so the
     merge table is recomputed, not shared."""
-    from dataflow_spark.operators.bpe import bpe_token_count, train_bpe
+    from dataflow_spark.operators.bpe import bpe_token_count, train_bpe_local
 
     df = _t(spark, sf, "documents")
-    merges = train_bpe(df, "text", n_merges=_BPE_K)
+    # train_bpe_local == train_bpe exactly (pytest-pinned tie-break and
+    # replace semantics); it replaces k driver-coordinated Spark jobs with
+    # one vocab-sized collect + a C-speed driver merge loop
+    merges = train_bpe_local(df, "text", n_merges=_BPE_K)
     return df.select(
         "doc_id", bpe_token_count("text", merges).alias("n_tokens_bpe")
     )
@@ -929,11 +942,11 @@ def _q_answer_token_length_filter_bpe(spark, sf):
     """AnswerTokenLengthFilter with the r5 trained tokenizer (the
     reference counts with a real tokenizer — answer_token_length_filter.
     py:11-46); cap chosen so the sf corpus splits into keep/drop."""
-    from dataflow_spark.operators.bpe import train_bpe
+    from dataflow_spark.operators.bpe import train_bpe_local
     from dataflow_spark.operators.reasoning import answer_token_length_filter
 
     df = _t(spark, sf, "documents").select("doc_id", "text")
-    merges = train_bpe(df, "text", n_merges=_BPE_K)
+    merges = train_bpe_local(df, "text", n_merges=_BPE_K)
     return answer_token_length_filter(
         df, "text", max_answer_token_length=200, merges=merges
     )
@@ -1064,7 +1077,7 @@ def _q_quality_signals(spark, sf):
     parquet scan (the 100-TB lever is the scan count)."""
     from dataflow_spark.functions.stats import quality_signals_exprs
 
-    df = _t(spark, sf, "documents")
+    df = _par(_t(spark, sf, "documents"))
     sig = quality_signals_exprs(F.col("text"))
     return df.select("doc_id", *[col.alias(k) for k, col in sig.items()])
 

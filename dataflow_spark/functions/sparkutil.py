@@ -35,3 +35,30 @@ def member_map(words: Iterable[str]) -> Column:
 
 def is_member(m: Column, key: Column) -> Column:
     return F.map_contains_key(m, key)
+
+
+def widen_for_compute(df, min_ratio: int = 2):
+    """Round-robin repartition to the session's default parallelism when
+    the input arrives in far fewer partitions than the cluster has slots
+    (guide case: one small parquet file with a single row group — the
+    scan stage, and every narrow op chained onto it, runs on ONE core
+    no matter how many the machine has).
+
+    Only worth it ahead of CPU-heavy per-row work (regex chains,
+    tokenize+explode, Arrow kernels): the exchange moves the raw rows
+    once so the expensive stage uses every slot. At 100 TB inputs
+    already carry thousands of partitions and this is a no-op — the
+    decision derives from ``defaultParallelism``, not a constant.
+
+    Results are unchanged by construction for the call sites that use
+    this: per-row projections, exact-integer aggregations, and ordered
+    per-row FP folds are all partitioning-invariant (decimal-sum /
+    ordered-fold discipline is documented per query). Streaming inputs
+    are returned untouched.
+    """
+    if getattr(df, "isStreaming", False):
+        return df
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism // min_ratio:
+        return df.repartition(sc.defaultParallelism)
+    return df

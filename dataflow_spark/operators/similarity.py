@@ -183,6 +183,62 @@ def _assign_cells(df: DataFrame, id_col: str, vec_col: str, cents: list[list[int
     )
 
 
+# Above this many (sampled) training rows the train set no longer counts
+# as driver-sized and ivf_train keeps the distributed Lloyd loop. The
+# 100-TB lever is train_fraction — the paper-shaped sample is chosen to be
+# exactly the thing that fits one machine, so real runs sit below this.
+IVF_LOCAL_MAX_TRAIN_ROWS = 200_000
+
+
+def _lloyd_local(
+    ids, vecs, n_centroids: int, iters: int
+) -> list[list[int]]:
+    """Driver-local numpy replay of the distributed Lloyd loop below —
+    bit-identical by construction (pytest-pinned against the distributed
+    path): int64 matmuls are exact (quantize_vec bounds every dot <
+    2^53), long→double conversion / divide / sqrt are the same single
+    IEEE ops the JVM executes, and ``np.argmax`` breaks score ties on
+    the first (lowest) cid exactly like ``max_by((s, -cid))``. Init =
+    the ``n_centroids`` vectors with the smallest ids, like
+    ``orderBy(id).limit(n)``."""
+    order = np.argsort(np.asarray(ids), kind="stable")
+    v = np.asarray([vecs[i] for i in order], dtype=np.int64)
+    cents = v[:n_centroids].copy()
+    for _ in range(iters):
+        num = (v @ cents.T).astype(np.float64)
+        den = np.sqrt(np.einsum("ij,ij->i", cents, cents).astype(np.float64))
+        cid = np.argmax(num / den[None, :], axis=1)
+        nxt = cents.copy()
+        for c in range(n_centroids):
+            m = cid == c
+            if m.any():
+                nxt[c] = v[m].sum(axis=0)  # exact int64, order-free
+        cents = nxt
+    return [[int(x) for x in row] for row in cents]
+
+
+def _assign_cells_udf(cents: list[list[int]]):
+    """Arrow-batched twin of ``_assign_cells``: vec → nearest cid, same
+    arithmetic (int64 matmul exact, one double divide per (row,
+    centroid), argmax ties to the lowest cid). Removes the explode(×k)
+    shuffle AND the assignment join from the corpus path — tagging
+    becomes one narrow map (the 100-TB shape: the corpus is touched
+    once, nothing wide ever shuffles). Bit-identity with the SQL path is
+    pytest-pinned."""
+    c = np.asarray(cents, dtype=np.int64)
+    den = np.sqrt(np.einsum("ij,ij->i", c, c).astype(np.float64))
+
+    @F.pandas_udf(T.IntegerType())
+    def _udf(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype="int32")
+        v = np.vstack(vs.to_numpy()).astype(np.int64)
+        s = (v @ c.T).astype(np.float64) / den[None, :]
+        return pd.Series(np.argmax(s, axis=1).astype(np.int32))
+
+    return _udf
+
+
 def ivf_train(
     int_corpus: DataFrame,
     id_col: str = "id",
@@ -191,6 +247,7 @@ def ivf_train(
     iters: int = 2,
     train_fraction: float | None = None,
     sample_seed: str = "ivf",
+    local_max_rows: int | None = IVF_LOCAL_MAX_TRAIN_ROWS,
 ) -> list[list[int]]:
     """Deterministic Lloyd's k-means over quantized integer vectors.
 
@@ -207,12 +264,32 @@ def ivf_train(
     Bernoulli sample (operators/sampling.py — retry/layout-stable,
     SQL-replayable) of the corpus feeds BOTH the init and every Lloyd
     iteration, so training cost scales with the sample while assignment
-    semantics over the full corpus are unchanged."""
+    semantics over the full corpus are unchanged.
+
+    r8: when the (sampled) train set is driver-sized (≤
+    ``local_max_rows``, checked with the standard ``limit(cap+1)``
+    guard), the whole Lloyd loop runs driver-local in numpy
+    (``_lloyd_local`` — bit-identical replay, pytest-pinned): ONE
+    bounded collect instead of 1 + 2·iters driver-coordinated jobs.
+    Above the cap (or ``local_max_rows=None``) the distributed loop
+    below runs unchanged."""
     train = int_corpus.select(id_col, vec_col)
     if train_fraction is not None:
         from dataflow_spark.operators.sampling import sample_hash_fraction
 
         train = sample_hash_fraction(train, [id_col], train_fraction, seed=sample_seed)
+    if local_max_rows:
+        head = train.limit(local_max_rows + 1).collect()
+        if len(head) <= local_max_rows:
+            return _lloyd_local(
+                [r[id_col] for r in head],
+                [list(r[vec_col]) for r in head],
+                n_centroids,
+                iters,
+            )
+    # distributed fallback: materialize the train set once — every Lloyd
+    # iteration re-reads it (callers no longer pre-checkpoint)
+    train = train.localCheckpoint()
     init = train.orderBy(id_col).limit(n_centroids).collect()
     cents = [list(r[vec_col]) for r in init]
     dim = len(cents[0])
@@ -257,17 +334,25 @@ def ann_topk_ivf(
     an IEEE op on exact integers). At scale: train on a sample, tag the
     corpus once (narrow int column), and each query batch joins only its
     n_probe cells — n_probe/n_centroids of the corpus instead of all of
-    it, with AQE absorbing cell skew."""
+    it, with AQE absorbing cell skew.
+
+    r8 plan shape: training dispatches to the driver-local Lloyd replay
+    when the sample is driver-sized (ivf_train), and corpus tagging is
+    the Arrow assignment map (``_assign_cells_udf``) instead of
+    explode(×k) → groupBy → join — the corpus path is now scan → map →
+    one probe join, zero assignment shuffles. Values are pinned
+    identical to the SQL assignment path by pytest."""
     ci = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(vec_col, scale).alias("v")
-    ).localCheckpoint()
+    )
     cents = ivf_train(
         ci, "id", "v", n_centroids=n_centroids, iters=iters,
         train_fraction=train_fraction,
     )
 
-    tagged = ci.join(_assign_cells(ci, "id", "v", cents), "id").select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    tagged = ci.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        _assign_cells_udf(cents)(F.col("v")).alias("cid"),
     )
     qi = queries.select(
         F.col(id_col).alias("query_id"), quantize_vec(vec_col, scale).alias("qv")
@@ -385,28 +470,66 @@ def semdedup_kmeans(
     than the greedy kept-only scan — a single join instead of a
     sequential per-component pass, at the cost of occasionally dropping a
     chain member the greedy scan would keep. Near-dup pairs split across
-    clusters are missed — the paper's documented recall trade."""
+    clusters are missed — the paper's documented recall trade.
+
+    r8 plan shape (values unchanged, oracle-pinned): training dispatches
+    to the driver-local Lloyd replay when the sample is driver-sized
+    (ivf_train); assignment is the Arrow map (``_assign_cells_udf``)
+    instead of explode(×k) → groupBy → join; and the within-cluster
+    drop rule runs as ONE grouped Arrow kernel per cluster (blockwise
+    int64 Gram matmul — identical IEEE ops to the pairwise SQL dot, see
+    ``_semdedup_keep_kernel``) instead of a c²-pair self-join of
+    interpreted zip_with/aggregate expressions plus a distinct and an
+    anti-join. End to end the corpus sees one scan, one narrow map, and
+    one shuffle (the groupBy cid); per-task memory is O(block · c) with
+    the documented ``n_centroids`` lever bounding c."""
     ci = corpus.select(
         F.col(id_col).alias("id"), quantize_vec(vec_col, scale).alias("v")
-    ).localCheckpoint()
+    )
     cents = ivf_train(
         ci, "id", "v", n_centroids=n_centroids, iters=iters,
         train_fraction=train_fraction, sample_seed=sample_seed,
     )
-    tagged = ci.join(_assign_cells(ci, "id", "v", cents), "id")
-    a = tagged.select(F.col("id").alias("a_id"), F.col("v").alias("av"), "cid")
-    b = tagged.select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "cid")
-    cos = _int_dot("av", "bv").cast("double") / (
-        F.sqrt(_int_dot("av", "av").cast("double"))
-        * F.sqrt(_int_dot("bv", "bv").cast("double"))
+    tagged = ci.select(
+        "id", "v", _assign_cells_udf(cents)(F.col("v")).alias("cid")
     )
-    drops = (
-        a.join(b, "cid")
-        .filter(F.col("b_id") < F.col("a_id"))
-        .filter(cos >= F.lit(float(threshold)))
-        .select(F.col("a_id").alias("id"))
-        .distinct()
+    kept = tagged.groupBy("cid").applyInPandas(
+        _semdedup_keep_kernel(float(threshold)),
+        schema="id long, cid int",
     )
-    return tagged.join(drops, "id", "left_anti").select(
-        F.col("id").alias(id_col), "cid"
-    )
+    return kept.select(F.col("id").alias(id_col), "cid")
+
+
+def _semdedup_keep_kernel(threshold: float, block: int = 2048):
+    """Per-cluster SemDeDup keep rule as a vectorized kernel: sort the
+    cluster by id ascending, then drop row i iff some j < i has
+    cos(v_i, v_j) ≥ threshold. The cosine is numerically IDENTICAL to
+    the SQL pairwise form it replaces: an exact int64 dot (< 2^53 by
+    quantize_vec's bound), one double sqrt per row, one multiply and one
+    divide per pair — the same IEEE op sequence the DuckDB oracle
+    replays. Gram rows are computed in ``block``-row slabs so per-task
+    memory is O(block · c), not O(c²)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(pdf):
+            return pd.DataFrame({"id": [], "cid": []})
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        cids = pdf["cid"].to_numpy()[order]
+        v = np.vstack(pdf["v"].to_numpy()[order]).astype(np.int64)
+        norms = np.sqrt(np.einsum("ij,ij->i", v, v).astype(np.float64))
+        n = len(ids)
+        drop = np.zeros(n, dtype=bool)
+        for lo in range(1, n, block):
+            hi = min(lo + block, n)
+            g = (v[lo:hi] @ v[:hi].T).astype(np.float64)
+            cos = g / (norms[lo:hi, None] * norms[None, :hi])
+            hit = cos >= threshold
+            # keep only the strictly-lower-triangle comparisons (j < i)
+            for r in range(lo, hi):
+                hit[r - lo, r:] = False
+            drop[lo:hi] = hit.any(axis=1)
+        keep = ~drop
+        return pd.DataFrame({"id": ids[keep], "cid": cids[keep]})
+
+    return run

@@ -194,3 +194,82 @@ def test_semdedup_kmeans_semantics(spark):
     assert sorted((r["vec_id"], r["cid"]) for r in re_out.collect()) == sorted(
         kept.items()
     )
+
+
+def test_r8_local_lloyd_matches_distributed(spark):
+    """r8 optimization pin: the driver-local numpy Lloyd replay
+    (``_lloyd_local``) and the Arrow assignment map
+    (``_assign_cells_udf``) are bit-identical to the distributed
+    explode/agg path they replaced — centroids AND per-row cids."""
+    from dataflow_spark.operators.similarity import (
+        _assign_cells,
+        _assign_cells_udf,
+        ivf_train,
+        quantize_vec,
+    )
+
+    df, _ = _toy_embeddings(spark, n=180, dim=16, seed=5)
+    ci = df.select(F.col("vec_id").alias("id"), quantize_vec("embedding").alias("v"))
+    for frac in (None, 0.5):
+        c_local = ivf_train(ci, "id", "v", n_centroids=6, iters=2,
+                            train_fraction=frac)
+        c_dist = ivf_train(ci, "id", "v", n_centroids=6, iters=2,
+                           train_fraction=frac, local_max_rows=None)
+        assert c_local == c_dist
+        a_sql = (
+            _assign_cells(ci, "id", "v", c_local).toPandas()
+            .sort_values("id").reset_index(drop=True)
+        )
+        a_udf = (
+            ci.select("id", _assign_cells_udf(c_local)(F.col("v")).alias("cid"))
+            .toPandas().sort_values("id").reset_index(drop=True)
+        )
+        assert a_sql.cid.tolist() == a_udf.cid.tolist()
+
+
+def test_r8_semdedup_kernel_matches_pairwise_sql(spark):
+    """r8 optimization pin: the grouped Arrow SemDeDup keep kernel equals
+    the pairwise SQL self-join + anti-join it replaced (with planted
+    exact and perturbed clones so the drop rule actually fires)."""
+    from dataflow_spark.operators.similarity import (
+        _assign_cells_udf,
+        _int_dot,
+        ivf_train,
+        quantize_vec,
+        semdedup_kmeans,
+    )
+
+    df, _ = _toy_embeddings(spark, n=150, dim=16, seed=7)
+    clones = df.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    aug = df.unionByName(clones)
+    got = (
+        semdedup_kmeans(aug, threshold=0.95, n_centroids=5)
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    # reference: the pre-r8 pairwise SQL formulation, inlined
+    ci = aug.select(F.col("vec_id").alias("id"), quantize_vec("embedding").alias("v"))
+    cents = ivf_train(ci, "id", "v", n_centroids=5, iters=2)
+    tagged = ci.select("id", "v", _assign_cells_udf(cents)(F.col("v")).alias("cid"))
+    a = tagged.select(F.col("id").alias("a_id"), F.col("v").alias("av"), "cid")
+    b = tagged.select(F.col("id").alias("b_id"), F.col("v").alias("bv"), "cid")
+    cos = _int_dot("av", "bv").cast("double") / (
+        F.sqrt(_int_dot("av", "av").cast("double"))
+        * F.sqrt(_int_dot("bv", "bv").cast("double"))
+    )
+    drops = (
+        a.join(b, "cid")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(cos >= F.lit(0.95))
+        .select(F.col("a_id").alias("id"))
+        .distinct()
+    )
+    exp = (
+        tagged.join(drops, "id", "left_anti")
+        .select(F.col("id").alias("vec_id"), "cid")
+        .toPandas().sort_values("vec_id").reset_index(drop=True)
+    )
+    assert len(got) < aug.count()  # the rule fired
+    assert got.vec_id.tolist() == exp.vec_id.tolist()
+    assert got.cid.tolist() == exp.cid.tolist()
