@@ -169,32 +169,60 @@ def make_transcripts(
     return df
 
 
+# rows per parquet row group for generated datasets (r8): ~2k rows of
+# ~70-byte turns ≈ 150 KB per group — fine-grained enough that byte-range
+# splits subdivide each file, coarse enough that row-group overhead stays
+# negligible. Real 100-TB inputs arrive with many files/groups already;
+# this only affects locally generated fixtures.
+_ROW_GROUP_SIZE = 2048
+
+
 def write_transcripts_parquet(
     path: str, n_turns: int, seed: int = 42, n_files: int = 1, **kw
 ) -> str:
     """Materialize a transcripts parquet dataset at ``path`` (idempotent).
 
     ``n_files > 1`` shards the table so file-based streaming sources get
-    multiple micro-batch inputs and scan parallelism isn't file-bound."""
+    multiple micro-batch inputs and scan parallelism isn't file-bound.
+
+    Files are written with small row groups (``_ROW_GROUP_SIZE`` rows,
+    r8): a pandas/pyarrow default writes ONE row group per file, which
+    makes the file unsplittable in practice — Spark assigns a byte-range
+    split per task but a task only reads row groups whose midpoint falls
+    in its range, so a 16-file table caps every scan stage at 16 tasks
+    regardless of core count (guide §6: input split size). Multiple row
+    groups let ``spark.sql.files.minPartitionNum`` (session.py) actually
+    subdivide the files. The marker records the layout; a cache written
+    by an older layout is regenerated in place (same data — seed-derived
+    — different physical chunking)."""
     import os
 
+    layout = f"n_turns={n_turns} seed={seed} n_files={n_files} rg={_ROW_GROUP_SIZE}"
     marker = os.path.join(path, "_DFS_DONE")
     if os.path.exists(marker):
-        return path
+        with open(marker) as f:
+            if f.read().strip() == layout:
+                return path
+        # stale layout: rewrite the data files under the current chunking
+        os.remove(marker)
     os.makedirs(path, exist_ok=True)
     pdf = make_transcripts(n_turns=n_turns, seed=seed, **kw)
     # Spark cannot read TIMESTAMP(NANOS) parquet — store microseconds.
     pdf = pdf.assign(ts=pdf["ts"].astype("datetime64[us]"))
     if n_files <= 1:
-        pdf.to_parquet(os.path.join(path, "transcripts.parquet"), index=False)
+        pdf.to_parquet(
+            os.path.join(path, "transcripts.parquet"), index=False,
+            row_group_size=_ROW_GROUP_SIZE,
+        )
     else:
         step = len(pdf) // n_files
         for i in range(n_files):
             lo = i * step
             hi = len(pdf) if i == n_files - 1 else (i + 1) * step
             pdf.iloc[lo:hi].to_parquet(
-                os.path.join(path, f"transcripts_{i:03d}.parquet"), index=False
+                os.path.join(path, f"transcripts_{i:03d}.parquet"), index=False,
+                row_group_size=_ROW_GROUP_SIZE,
             )
     with open(marker, "w") as f:
-        f.write(f"n_turns={len(pdf)} seed={seed} n_files={n_files}\n")
+        f.write(layout + "\n")
     return path

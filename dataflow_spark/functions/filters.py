@@ -133,7 +133,12 @@ def _sentence_number(lo: int = 1, hi: int = 7500) -> TextFilter:
 
 def _mean_word_length(lo: float = 3.0, hi: float = 10.0) -> TextFilter:
     def native(c):
-        chars = F.length(F.regexp_replace(F.coalesce(c, F.lit("")), r"\s", ""))
+        # non-whitespace char count WITHOUT rebuilding the string:
+        # len(text) - #whitespace-chars == len(regexp_replace(text,'\s',''))
+        # exactly (each \s match is one char), and regexp_count skips the
+        # StringBuffer copy the replace pays per row
+        cc = F.coalesce(c, F.lit(""))
+        chars = F.length(cc) - F.regexp_count(cc, F.lit(r"\s"))
         words = _n_toks(c)
         m = F.when(words > 0, chars.cast("double") / words)
         return m, m.isNotNull() & (m >= lo) & (m < hi)
@@ -172,9 +177,19 @@ def _unique_words(threshold: float = 0.1) -> TextFilter:
 
 def _alpha_words(threshold: float = 0.6) -> TextFilter:
     def native(c):
-        toks = _toks(c)
-        alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-zA-Z]")))
-        m = F.when(F.size(toks) > 0, alpha.cast("double") / F.size(toks))
+        # letter-bearing token count as ONE codegen regexp_count instead
+        # of an interpreted higher-order filter + a per-token rlike:
+        # '\S*[a-zA-Z]\S*' matches exactly once per maximal \S+ run that
+        # contains an ASCII letter (a match can't cross whitespace; the
+        # leftmost attempt at a token start succeeds via backtracking iff
+        # the token holds a letter, and the trailing greedy \S* always
+        # extends the match to the token end, so no token double-counts).
+        # Values are pinned identical to the pandas kernel by the parity
+        # suite on the dirty corpus.
+        cc = F.coalesce(c, F.lit(""))
+        total = F.regexp_count(cc, F.lit(r"\S+"))
+        alpha = F.regexp_count(cc, F.lit(r"\S*[a-zA-Z]\S*"))
+        m = F.when(total > 0, alpha.cast("double") / total)
         return m, m.isNotNull() & (m > threshold)
 
     def kernel(s):

@@ -215,31 +215,48 @@ def quality_score_native(c: Column) -> Column:
 
     q = 0.3*min(1, words/50) + 0.3*min(1, 5*stop_ratio)
       + 0.2*(1 - caps_ratio) + 0.2*max(0, 1 - 10*symbol_ratio)
+
+    The token array is bound once via the single-element-array/transform
+    device (see ngram_score_native): higher-order lambdas are evaluated
+    interpreted and Catalyst does not share subexpressions across lambda
+    bodies, so without the binding the whitespace split would run three
+    times per row (token count, stopword pass, caps pass). Values are
+    unchanged — the identical ops run on the identical array, once.
     """
-    toks = F.filter(F.split(F.trim(F.coalesce(c, F.lit(""))), r"\s+"), lambda x: x != "")
-    n = F.size(toks)
     from dataflow_spark.functions.sparkutil import is_member, member_map
 
-    sw = member_map(X.STOPWORDS)
-    stop_hits = F.size(F.filter(toks, lambda x: is_member(sw, F.lower(x))))
-    caps = F.size(F.filter(toks, lambda x: (x == F.upper(x)) & x.rlike("[A-Za-z]")))
     cc = F.coalesce(c, F.lit(""))
+    toks_expr = F.filter(F.split(F.trim(cc), r"\s+"), lambda x: x != "")
+    sw = member_map(X.STOPWORDS)
     sym = (
         F.regexp_count(cc, F.lit("#"))
         + F.regexp_count(cc, F.lit(r"\.\.\."))
         + F.regexp_count(cc, F.lit("…"))
     )
-    nz = F.when(n > 0, n.cast("double"))
-    stop_ratio = stop_hits / nz
-    caps_ratio = caps / nz
-    sym_ratio = sym / nz
-    q = (
-        0.3 * F.least(F.lit(1.0), n / F.lit(50.0))
-        + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
-        + 0.2 * (1.0 - caps_ratio)
-        + 0.2 * F.greatest(F.lit(0.0), 1.0 - 10.0 * sym_ratio)
+
+    def score_of(toks: Column, sym_n: Column) -> Column:
+        n = F.size(toks)
+        stop_hits = F.size(F.filter(toks, lambda x: is_member(sw, F.lower(x))))
+        caps = F.size(F.filter(toks, lambda x: (x == F.upper(x)) & x.rlike("[A-Za-z]")))
+        nz = F.when(n > 0, n.cast("double"))
+        stop_ratio = stop_hits / nz
+        caps_ratio = caps / nz
+        sym_ratio = sym_n / nz
+        q = (
+            0.3 * F.least(F.lit(1.0), n / F.lit(50.0))
+            + 0.3 * F.least(F.lit(1.0), 5.0 * stop_ratio)
+            + 0.2 * (1.0 - caps_ratio)
+            + 0.2 * F.greatest(F.lit(0.0), 1.0 - 10.0 * sym_ratio)
+        )
+        return F.when(n > 0, q).otherwise(F.lit(0.0))
+
+    return F.element_at(
+        F.transform(
+            F.array(F.struct(toks_expr.alias("t"), sym.alias("s"))),
+            lambda r: score_of(r["t"], r["s"]),
+        ),
+        1,
     )
-    return F.when(n > 0, q).otherwise(F.lit(0.0))
 
 
 # ----------------------------------------------------------- fingerprints

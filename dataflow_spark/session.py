@@ -42,6 +42,15 @@ def get_spark(
         builder = builder.config(
             "spark.sql.shuffle.partitions", str(shuffle_partitions or 2 * n)
         ).config("spark.default.parallelism", str(2 * n))
+        # NOT set (r8, measured): spark.sql.files.openCostInBytes below
+        # its 4 MB default would let byte-range splits subdivide the
+        # ~1 MB generated files to a 64-way scan, but an interleaved A/B
+        # showed the flagship chain SLOWER with it (pt min 4.35 s at
+        # 128 KB vs 3.68 s at the default; scored stream 2x worse —
+        # per-task Arrow scorer init × 4 and 4x the shuffle blocks beat
+        # the extra parallelism at this data size). Queries that need
+        # compute parallelism on a small scan use an explicit
+        # widen_for_compute instead.
     builder = (
         builder
         # AQE: runtime partition coalescing + skew-join splitting. The
@@ -51,9 +60,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # text pipelines are CPU-bound per byte: the 64m advisory size
-        # would coalesce post-shuffle stages to ~1 task on local corpora
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # text pipelines are CPU-bound per byte — ~100x a parquet scan's
+        # cost per byte once interpreted higher-order expressions (token
+        # filters, quality scores) run post-shuffle — so post-shuffle
+        # partitions must be sized for COMPUTE balance, not shuffle-block
+        # economics. r8 (measured, interleaved A/B at sf0.1/local[32]):
+        # the former 8m advisory let AQE coalesce the post-dedup stages
+        # of the flagship chain to 1-3 tasks (pt 4.32 s, window_session
+        # 0.62 s); 1m keeps them wide (pt 3.51 s, window_session 0.35 s)
+        # with every other query flat-or-faster. On a real cluster the
+        # guide's 100 MB-1 GB shuffle sizing applies — override via
+        # DFS_AQE_ADVISORY (and at 100 TB the per-partition byte counts
+        # put AQE far above the advisory floor anyway).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("DFS_AQE_ADVISORY", "1m"),
+        )
         # Arrow on every pandas_udf / toPandas hop — the engine mandate is
         # "vectorized pandas/Arrow UDFs, no per-row Python".
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
