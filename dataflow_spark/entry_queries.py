@@ -4917,10 +4917,14 @@ def _q_dsir_logweights(spark, sf):
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
-    feats = hashed_ngram_features(docs, n_buckets=_DSIR_BUCKETS)
-    target = hashed_ngram_features(
-        docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
-    )
+    # one tokenize+explode pass, materialized: the raw features feed the
+    # ratio's raw side AND the per-doc weights, and the target slice is
+    # the SAME per-doc counts restricted to English ids (features are
+    # per-document, so filtering feats == featurizing the filtered
+    # corpus — identical counts, one corpus pass instead of three)
+    feats = hashed_ngram_features(docs, n_buckets=_DSIR_BUCKETS).localCheckpoint()
+    en_ids = docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+    target = feats.join(en_ids, "id")
     w = dsir_log_weights(feats, bucket_log_ratio(target, feats, _DSIR_BUCKETS))
     return w.select(
         F.col("id").alias("doc_id"), F.round("logw", 6).alias("logw")
@@ -4938,10 +4942,10 @@ def _q_dsir_select_gumbel(spark, sf):
     )
 
     docs = _t(spark, sf, "documents").select("doc_id", "text", "lang")
-    feats = hashed_ngram_features(docs, n_buckets=_DSIR_BUCKETS)
-    target = hashed_ngram_features(
-        docs.filter(F.col("lang") == "en"), n_buckets=_DSIR_BUCKETS
-    )
+    # same single-pass feature reuse as dsir_logweights
+    feats = hashed_ngram_features(docs, n_buckets=_DSIR_BUCKETS).localCheckpoint()
+    en_ids = docs.filter(F.col("lang") == "en").select(F.col("doc_id").alias("id"))
+    target = feats.join(en_ids, "id")
     w = dsir_log_weights(feats, bucket_log_ratio(target, feats, _DSIR_BUCKETS))
     sel = dsir_select(docs, w, id_col="doc_id", k=50, seed=0, gumbel=True)
     return sel.select("doc_id", F.round("sel_key", 6).alias("sel_key"))

@@ -57,15 +57,23 @@ def ann_topk_bruteforce(
     Excludes self-matches (same id). Ties broken by neighbor id asc —
     deterministic output for hash comparison.
     """
+    # norms are hoisted into the per-ROW projections (r8): the naive
+    # form re-evaluates the interpreted aggregate-over-array norm of
+    # both sides once per PAIR (|corpus| x |queries| times); computing
+    # each norm once per row and multiplying inside the pair leaves the
+    # identical IEEE op sequence — sqrt(agg(q)) * sqrt(agg(c)), one
+    # divide — so cos_sim is bit-identical.
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm("qv"))
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm("cv"))
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
-    sim = _dot("qv", "cv") / (_norm("qv") * _norm("cv"))
-    scored = joined.withColumn("cos_sim", sim)
+    sim = _dot("qv", "cv") / (F.col("qn") * F.col("cn"))
+    scored = joined.withColumn("cos_sim", sim).drop("qn", "cn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
@@ -353,6 +361,7 @@ def ann_topk_ivf(
     tagged = ci.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
         _assign_cells_udf(cents)(F.col("v")).alias("cid"),
+        F.sqrt(_int_dot("v", "v").cast("double")).alias("cn"),
     )
     qi = queries.select(
         F.col(id_col).alias("query_id"), quantize_vec(vec_col, scale).alias("qv")
@@ -364,14 +373,16 @@ def ann_topk_ivf(
     qprobe = (
         qe.withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", F.col("c.cid").alias("cid"))
+        .select(
+            "query_id", "qv", F.col("c.cid").alias("cid"),
+            F.sqrt(_int_dot("qv", "qv").cast("double")).alias("qn"),
+        )
     )
     cand = tagged.join(qprobe, "cid").filter(F.col("neighbor_id") != F.col("query_id"))
-    cos = _int_dot("qv", "cv").cast("double") / (
-        F.sqrt(_int_dot("qv", "qv").cast("double"))
-        * F.sqrt(_int_dot("cv", "cv").cast("double"))
-    )
-    scored = cand.withColumn("cos_sim", cos)
+    # per-row norms hoisted below the join (r8): sqrt(int_dot) was being
+    # re-evaluated once per CANDIDATE PAIR; same IEEE ops, same values
+    cos = _int_dot("qv", "cv").cast("double") / (F.col("qn") * F.col("cn"))
+    scored = cand.withColumn("cos_sim", cos).drop("qn", "cn")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     out = (
         scored.withColumn("rank", F.row_number().over(w))
