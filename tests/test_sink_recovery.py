@@ -51,7 +51,11 @@ def test_exactly_once_with_kill_restart(spark, tmp_path):
             except Exception:
                 pass
         else:
-            q.awaitTermination(300)
+            # generous cap: availableNow terminates on its own when caught
+            # up; under heavy host load 300 s has been observed to expire
+            # BEFORE the final micro-batch commits, failing the batch-count
+            # assertion below with a half-finished (not wrong) table
+            q.awaitTermination(900)
 
     run(stop_after=2)  # simulated failure — under host load the query may
     # die earlier or finish more batches; ANY crash point is a valid test
