@@ -636,9 +636,21 @@ def with_filter_columns(
 
 
 def apply_filter(df: DataFrame, name: str, col: str = "text", mode: str = "native") -> DataFrame:
-    """Keep only passing rows, dropping the helper columns."""
-    out = with_filter_columns(df, name, col, mode)
-    return out.filter(F.col(f"{name}_keep")).drop(f"{name}_metric", f"{name}_keep")
+    """Keep only passing rows.
+
+    r8: one Filter node per filter instead of the former
+    withColumn(metric) → withColumn(keep) → filter → drop chain — the
+    metric column never escaped apply_filter, so the predicate alone is
+    the whole contract (identical rows out; label consumers use
+    ``with_filter_columns`` directly). An 8-filter chain now adds 8
+    plan nodes instead of 32, which is pure driver-side
+    construction/analysis latency removed from every composed query."""
+    flt = FILTERS[name]
+    if mode == "native":
+        _metric, keep = flt.native(F.col(col))
+        return df.where(F.coalesce(keep, F.lit(False)))
+    res = filter_udf(name)(F.col(col))
+    return df.where(F.coalesce(res["keep"], F.lit(False)))
 
 
 def apply_filters(df: DataFrame, names: list[str], col: str = "text", mode: str = "native") -> DataFrame:
