@@ -130,14 +130,24 @@ def _bigrams(tk, seed=None):
     )
 
 
-def bigram_counts(df: DataFrame, text_col: str = "text", persists: list | None = None):
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    persists: list | None = None,
+    compute_v: bool = True,
+):
     """→ (bigram counts DF[w1, w2, c], context counts DF[w1, ctx], V).
 
     One explode + two groupBys; counts combine map-side. V = distinct
     token count of the corpus (BOS excluded — it never appears as w2's
     prediction target vocabulary entry). The bigram TYPE table is
     persisted; pass ``persists`` to receive the handle and release it
-    via ``release_persists`` once results are materialized."""
+    via ``release_persists`` once results are materialized.
+
+    ``compute_v=False`` skips the distinct-count job and returns
+    ``v=None`` — for callers that are about to collect the whole type
+    table anyway (the local-scorer dispatch) and can derive the same
+    exact integer as ``len({w2})`` from the collected rows."""
     big = df.select(
         F.explode(_bigrams(tokens_expr(F.col(text_col)))).alias("bg")
     ).select("bg.w1", "bg.w2")
@@ -146,7 +156,7 @@ def bigram_counts(df: DataFrame, text_col: str = "text", persists: list | None =
     # the vocabulary, instead of re-scanning the corpus per derived table
     bc = _track(big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")), persists)
     cc = bc.groupBy("w1").agg(F.sum("c").alias("ctx"))
-    v = bc.select("w2").distinct().count()
+    v = bc.select("w2").distinct().count() if compute_v else None
     return bc, cc, v
 
 
@@ -195,9 +205,22 @@ def bigram_perplexity(
     decides), then one groupBy re-packs per-doc terms in token order for
     the ordered fold. No window over the corpus, no driver data beyond
     the vocab-bounded collect."""
-    bc, cc, v = bigram_counts(df, text_col, persists)
+    # r8: defer the V distinct-count job — on the local path the whole
+    # type table is collected anyway and V == len({w2}) of the collected
+    # rows, the identical exact integer; the fallback computes it as
+    # before. One distributed job fewer per trained scoring query.
+    bc, cc, v = bigram_counts(df, text_col, persists, compute_v=False)
     if local == "auto":
-        udf = build_local_ppl(bc, v, k=k)
+        head = bc.limit(LOCAL_SCORE_MAX_BIGRAMS + 1).collect()
+        if len(head) <= LOCAL_SCORE_MAX_BIGRAMS:
+            v = len({r["w2"] for r in head})
+            pairs = {(r["w1"], r["w2"]): r["c"] for r in head}
+            ctx: dict = {}
+            for (w1, _w2), c in pairs.items():
+                ctx[w1] = ctx.get(w1, 0) + c
+            udf = local_ppl_udf(pairs, ctx, v, k=k)
+        else:
+            udf = None
         if udf is not None:
             out = df.select(
                 F.col(id_col), udf(F.col(text_col)).alias("__s")
@@ -209,6 +232,8 @@ def bigram_perplexity(
             if round_to is not None:
                 out = out.withColumn("ppl", F.round("ppl", round_to))
             return out
+    if v is None:  # fallback path: over-cap or local="never"
+        v = bc.select("w2").distinct().count()
     return bigram_ppl_with_tables(
         df, id_col, bc, cc, v, text_col=text_col, k=k, round_to=round_to
     )

@@ -68,6 +68,7 @@ def nb_train(
     text_col: str = "text",
     persists: list | None = None,
     features=None,
+    compute_v: bool = True,
 ):
     """→ (word_counts[label,w,c], class_stats[label,n_tok,n_docs], V,
     n_docs_total). One token explode; every other table derives from the
@@ -87,7 +88,7 @@ def nb_train(
         F.count(F.lit(1)).alias("n_docs")
     )
     cls = cs.join(dc, "label")
-    v = wc.select("w").distinct().count()
+    v = wc.select("w").distinct().count() if compute_v else None
     n_total = df.count()
     return wc, cls, v, n_total
 
@@ -118,10 +119,17 @@ def nb_classify(
     ``features``/``features_kernel`` swap the feature space (Column →
     array<string> expression + its Python twin for the local path);
     supplying ``features`` without its kernel keeps the join plan."""
-    wc, cls, v, n_total = nb_train(df, label_col, text_col, persists, features)
+    # r8: defer the V distinct-count job — the local path collects the
+    # whole (label, word) table anyway and V == len({w}) of the
+    # collected rows, the identical exact integer; the fallback computes
+    # it as before. One distributed job fewer per classify query.
+    wc, cls, v, n_total = nb_train(
+        df, label_col, text_col, persists, features, compute_v=False
+    )
     if local == "auto" and (features is None or features_kernel is not None):
         head = wc.limit(NB_LOCAL_MAX_WC_ROWS + 1).collect()
         if len(head) <= NB_LOCAL_MAX_WC_ROWS:
+            v = len({r["w"] for r in head})
             udf = nb_local_scorer(
                 head, cls.collect(), v, n_total, tokenizer=features_kernel
             )
@@ -135,6 +143,8 @@ def nb_classify(
             if round_to is not None:
                 out = out.withColumn("score", F.round("score", round_to))
             return out
+    if v is None:  # fallback path: over-cap or local="never"
+        v = wc.select("w").distinct().count()
     feats = features or tokens_expr
     toks = df.select(
         F.col(id_col).alias("id"), feats(F.col(text_col)).alias("tk")
